@@ -1,0 +1,482 @@
+"""The rotated-corridor scenario family as one pure, jittable step kernel.
+
+Functional re-design of the reference's live step path — the composition of
+``MultiAgentGraphEnv.step`` (multiagent/environment.py:1021-1063),
+``World.step`` (multiagent/core.py:687-756) and the july scenario callbacks
+``observation``/``reward``/``graph_observation``/``info_callback``
+(custom_scenarios/nav_metered_one_goal_graph_rotate_tube_july.py).
+
+The reference evaluates callbacks **per agent, in id order, with in-place
+mutation**: agent i's reward sees status flips and velocity resets performed
+by rewards of agents j<i within the same step, the phase machine is invoked
+twice per agent per step (once from ``observation``, once from ``reward``)
+and mutates ``previous_phase``, and every agent receives the *final* masked
+adjacency matrix because the scenario zeroes ``world.cached_dist_mag`` in
+place.  All of that ordering is load-bearing for bit-exact parity, so this
+kernel reproduces it literally: observations (order-independent — each agent's
+obs reads only its own mutable state) are vectorized, rewards run as an
+unrolled loop over the (static, small) agent count, and the adjacency is
+computed once from the post-loop state.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config.physics import DynamicsType
+from ..ops import distance as dist_ops
+from . import actions as action_mod
+from . import dynamics
+from . import tube as tube_mod
+from .types import EnvParams, EnvState, TimeStep
+
+Array = jax.Array
+
+AGENT_SIZE = 0.06
+ENTITY_AGENT, ENTITY_LANDMARK, ENTITY_OBSTACLE = 0.0, 1.0, 2.0
+
+
+def _entity_positions(params: EnvParams, pos: Array, state: EnvState) -> Array:
+    return jnp.concatenate([pos, state.landmark_pos, state.obstacle_pos], axis=0)
+
+
+def _decrement_cooldown(cooldown: Array) -> Array:
+    """Each ``get_agent_phase`` call decrements a positive cooldown (july:702-704)."""
+    return cooldown - (cooldown > 0).astype(cooldown.dtype)
+
+
+def _phase_all(params: EnvParams, state_tube, pos: Array, prev_phase: Array):
+    return tube_mod.agent_phase(
+        state_tube, pos, prev_phase, params.gate_front_ratio, params.gate_back_ratio
+    )
+
+
+def _obstacle_collision(params: EnvParams, state: EnvState, pos_i: Array) -> Array:
+    """july ``is_obstacle_collision``:864-890 (no walls in primary configs)."""
+    if params.num_obstacles == 0:
+        return jnp.asarray(False)
+    d = jnp.linalg.norm(state.obstacle_pos - pos_i, axis=-1)
+    return jnp.any(d < 2.0 * (AGENT_SIZE + AGENT_SIZE))
+
+
+def observations(params: EnvParams, state: EnvState) -> tuple[EnvState, Array]:
+    """The 19-dim observation for every agent (july:1337-1463), vectorized.
+
+    Layout: [pos(2), vel(2), rel_goal(2), goal_occupied(1), rel_second(2)
+    (= rel_goal), two nearest neighbors rel pos(4), rel_entrance(2),
+    rel_exit(2), tube_width(1), phase(1)].
+
+    Performs phase-machine call #1 for each agent (cooldown decrement +
+    possible ``previous_phase`` 1->2 mutation), exactly as the reference's
+    ``observation`` does via ``get_agent_phase`` (july:1447).
+    """
+    cfg = params.cfg
+    pos = state.agent_states[:, :2]
+    vel = dynamics.velocity_of(state.agent_states, cfg)
+    goal = state.landmark_pos[state.goal_match]
+    rel_goal = goal - pos
+    occupied = state.occupied[state.goal_match][:, None]
+    neighbors = dist_ops.two_nearest_neighbors(pos)
+    rel_entrance = state.tube.entrance - pos
+    rel_exit = state.tube.exit - pos
+    cooldown = _decrement_cooldown(state.entry_cooldown)
+    phase, new_prev = _phase_all(params, state.tube, pos, state.prev_phase)
+    width = jnp.broadcast_to(state.tube.width, (params.num_agents,))[:, None]
+    obs = jnp.concatenate(
+        [
+            pos,
+            vel,
+            rel_goal,
+            occupied,
+            rel_goal,
+            neighbors,
+            rel_entrance,
+            rel_exit,
+            width,
+            phase[:, None].astype(pos.dtype),
+        ],
+        axis=-1,
+    )
+    state = state.replace(entry_cooldown=cooldown, prev_phase=new_prev)
+    return state, obs
+
+
+def _node_obs_for_agent(
+    params: EnvParams, state: EnvState, values: Array, i
+) -> Array:
+    """Relative node features wrt ego agent i (july:1694-1771), 8-dim."""
+    cfg = params.cfg
+    n, l, o = params.num_agents, params.num_landmarks, params.num_obstacles
+    pos = values[:, :2]
+    vel = dynamics.velocity_of(values, cfg)
+    zeros_l = jnp.zeros((l, 2), values.dtype)
+    zeros_o = jnp.zeros((o, 2), values.dtype)
+    entity_pos = jnp.concatenate([pos, state.landmark_pos, state.obstacle_pos], axis=0)
+    entity_vel = jnp.concatenate([vel, zeros_l, zeros_o], axis=0)
+    rel_pos = entity_pos - pos[i]
+    rel_vel = entity_vel - vel[i]
+    # agents: goal = landmark_poses[entity.id]; landmarks/obstacles: own rel_pos
+    agent_goal_rel = state.landmark_pos[jnp.arange(n) % l] - pos[i]
+    rel_goal = jnp.concatenate([agent_goal_rel, rel_pos[n:]], axis=0)
+    occ_agents = state.occupied[state.goal_match[jnp.arange(n)]]
+    occupied = jnp.concatenate(
+        [occ_agents, jnp.ones((l + o,), values.dtype)], axis=0
+    )[:, None]
+    etype = jnp.concatenate(
+        [
+            jnp.full((n,), ENTITY_AGENT, values.dtype),
+            jnp.full((l,), ENTITY_LANDMARK, values.dtype),
+            jnp.full((o,), ENTITY_OBSTACLE, values.dtype),
+        ]
+    )[:, None]
+    return jnp.concatenate([rel_vel, rel_pos, rel_goal, occupied, etype], axis=-1)
+
+
+def masked_adjacency(params: EnvParams, state: EnvState, values: Array) -> Array:
+    """Distance-magnitude adjacency with done rows/cols zeroed (july:1625-1648).
+
+    Agents disconnect once ``status`` is set; a landmark disconnects when any
+    ``goal_tracker`` entry equals its id.
+    """
+    n, l = params.num_agents, params.num_landmarks
+    entity_pos = _entity_positions(params, values[:, :2], state)
+    adj = dist_ops.pairwise_distances(entity_pos)
+    landmark_done = jnp.any(
+        state.goal_tracker[:, None] == jnp.arange(l)[None, :], axis=0
+    )
+    disconnected = jnp.concatenate(
+        [
+            state.status,
+            landmark_done,
+            jnp.zeros((params.num_obstacles,), bool),
+        ]
+    )
+    keep = ~disconnected
+    return adj * keep[:, None] * keep[None, :]
+
+
+def _reward_one_agent(params: EnvParams, state: EnvState, values: Array, i: int):
+    """Reward + in-step mutations for agent ``i`` (july ``reward``:1105-1221).
+
+    Returns (reward_i, updated state, updated values).  Must be called in
+    agent-id order: uses ``state.status``/``values`` as mutated by earlier
+    agents this step.
+    """
+    cfg = params.cfg
+    dtype = values.dtype
+    n = params.num_agents
+    pos = values[:, :2]
+    pos_i = pos[i]
+    tube = state.tube
+
+    # --- phase call #2 (get_agent_phase inside reward, july:1113) ---
+    # decrements only agent i's cooldown (july:702-704)
+    cooldown = state.entry_cooldown.at[i].add(
+        -(state.entry_cooldown[i] > 0).astype(state.entry_cooldown.dtype)
+    )
+    cur, prev_after_call = tube_mod.agent_phase(
+        tube, pos_i, state.prev_phase[i], params.gate_front_ratio, params.gate_back_ratio
+    )
+    prev_phase = state.prev_phase.at[i].set(prev_after_call)
+    prev_i = prev_phase[i]
+
+    rew = jnp.zeros((), dtype)
+
+    # --- collision penalties (july:1117-1124) ---
+    d_agents = jnp.linalg.norm(pos - pos_i, axis=-1)
+    colliding = (
+        (d_agents < cfg.separation_distance)
+        & ~state.status
+        & ~state.status[i]
+        & (jnp.arange(n) != i)
+    )
+    rew -= params.collision_rew * 4 * jnp.sum(colliding).astype(dtype)
+    rew -= params.collision_rew * 3 * _obstacle_collision(params, state, pos_i).astype(dtype)
+
+    # --- front/back spacing neighbors by own heading (july:1127-1144) ---
+    heading = dynamics.heading_of(values, cfg)[i]
+    heading_vec = jnp.stack([jnp.cos(heading), jnp.sin(heading)])
+    proj = (pos - pos_i) @ heading_vec
+    not_self = jnp.arange(n) != i
+    front_mask = not_self & (proj > 0)
+    back_mask = not_self & (proj <= 0)
+    inf = jnp.asarray(jnp.inf, dtype)
+    front_idx = jnp.argmin(jnp.where(front_mask, proj, inf))
+    back_idx = jnp.argmax(jnp.where(back_mask, proj, -inf))
+    has_front = jnp.any(front_mask)
+    has_back = jnp.any(back_mask)
+    desired = cfg.separation_distance
+
+    # --- phase transition rewards (july:1146-1161) ---
+    rew -= params.goal_rew * 3 * ((cur == 2) & (cur > prev_i + 1)).astype(dtype)
+    proj_e, perp_e = tube_mod.entrance_projection(tube, pos_i)
+    span_len = jnp.linalg.norm(tube.exit - tube.entrance)
+    entered = (cur == prev_i + 1) & (state.phase_reached[i] == cur - 1)
+    bonus = entered & (
+        ((cur == 1) & (0 <= proj_e) & (proj_e < 0.1 * span_len) & (perp_e < 0.2 * span_len))
+        | (cur == 2)
+    )
+    rew += params.goal_rew * 3 * bonus.astype(dtype)
+
+    # --- phase-specific terms (july:1163-1194) ---
+    is_p0 = cur == 0
+    is_p1 = cur == 1
+    demote = (cur == 2) & (state.phase_reached[i] == 0)
+    goal_branch = (cur == 2) & ~demote
+
+    rew -= is_p0.astype(dtype) * jnp.linalg.norm(tube.entrance - pos_i)
+
+    front_diff = jnp.linalg.norm(pos[front_idx] - pos_i) - desired
+    back_diff = jnp.linalg.norm(pos[back_idx] - pos_i) - desired
+    spacing_error = jnp.where(has_front & (front_diff < 0), -front_diff, 0.0) + jnp.where(
+        has_back & (back_diff < 0), -back_diff, 0.0
+    )
+    spacing_error = spacing_error.astype(dtype)
+    state = state.replace(
+        spacing_violation=state.spacing_violation.at[i].add(
+            (is_p1 & (spacing_error > 0)).astype(dtype)
+        ),
+        delta_spacing_sum=state.delta_spacing_sum + is_p1.astype(dtype) * spacing_error,
+        steps_in_corridor=state.steps_in_corridor.at[i].add(is_p1.astype(dtype)),
+    )
+    rew -= is_p1.astype(dtype) * spacing_error * params.formation_rew
+    rew -= is_p1.astype(dtype) * jnp.linalg.norm(tube.exit - pos_i)
+
+    # goal logic (july:1186-1194)
+    goal_pos = state.landmark_pos[state.goal_match[i]]
+    dist_goal = jnp.linalg.norm(pos_i - goal_pos)
+    at_goal = goal_branch & (dist_goal < cfg.goal_threshold)
+    newly = at_goal & ~state.status[i]
+    rew += newly.astype(dtype) * params.goal_rew * 5
+    rew -= (goal_branch & (dist_goal >= cfg.goal_threshold)).astype(dtype) * dist_goal
+
+    # freeze + reset_velocity on first goal reach (july:1188-1190,
+    # core.py:324-333: heading models draw theta ~ U(0,2pi), speed=v_min;
+    # double integrator zeroes velocity, no draw)
+    key = state.key
+    if cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+        reset_vals = values[i].at[2:].set(0.0)
+    else:
+        if params.parity_fixed_reset_theta is not None:
+            theta = jnp.asarray(params.parity_fixed_reset_theta, dtype)
+        else:
+            key, tkey = jax.random.split(key)
+            theta = jax.random.uniform(tkey, (), dtype, 0.0, 2 * jnp.pi)
+        reset_vals = values[i].at[2].set(theta).at[3].set(cfg.v_min)
+    values = values.at[i].set(jnp.where(newly, reset_vals, values[i]))
+    state = state.replace(
+        status=state.status.at[i].set(state.status[i] | newly),
+        goal_tracker=state.goal_tracker.at[i].set(
+            jnp.where(newly, state.goal_match[i], state.goal_tracker[i])
+        ),
+        key=key,
+    )
+
+    # --- conformance / phase_reached / regression penalties (july:1196-1204) ---
+    cur2 = jnp.where(demote, 0, cur)
+    state = state.replace(
+        conformance=state.conformance.at[i].add(
+            ((state.phase_reached[i] == 1) & (cur2 == 0)).astype(dtype)
+        )
+    )
+    new_pr = jnp.maximum(state.phase_reached[i], cur2)
+    rew -= params.collision_rew * 3 * (cur2 < prev_i).astype(dtype)
+    rew -= params.collision_rew * (cur2 < new_pr).astype(dtype)
+    state = state.replace(
+        phase_reached=state.phase_reached.at[i].set(new_pr),
+        prev_phase=prev_phase.at[i].set(cur2),
+        entry_cooldown=cooldown,
+    )
+
+    # --- clips (july:1207, 1221) ---
+    rew = jnp.clip(rew, -4 * params.collision_rew, params.goal_rew * 5)
+    rew = jnp.clip(rew, params.reward_weights.min_reward, params.reward_weights.max_reward)
+    return rew, state, values
+
+
+def _update_info_stats(params: EnvParams, state: EnvState, values: Array) -> EnvState:
+    """Vectorized ``info_callback`` bookkeeping (july:741-829).
+
+    The reference runs this per agent interleaved with the reward loop; its
+    mutations feed only the logged metrics (never observations or rewards), so
+    we apply them once per step from the post-loop state.  The one observable
+    divergence: collision *counts* around the exact step an agent freezes may
+    differ by one, since we use end-of-step status for all agents.
+    """
+    cfg = params.cfg
+    dtype = values.dtype
+    pos = values[:, :2]
+    d_landmarks = jnp.linalg.norm(
+        pos[:, None, :] - state.landmark_pos[None, :, :], axis=-1
+    )
+    nearest = jnp.argmin(d_landmarks, axis=-1).astype(jnp.int32)
+    dist_goal = jnp.min(d_landmarks, axis=-1)
+    near = dist_goal < cfg.goal_threshold
+    t_time = (state.t.astype(dtype)) * cfg.dt
+
+    goal_reached = state.goal_reached
+    times_required = state.times_required
+    dists_to_goal = state.dists_to_goal
+    dist_left = state.dist_left_to_goal
+
+    # 1. new goal after having one
+    c1 = near & (nearest != goal_reached) & (goal_reached != -1)
+    goal_reached = jnp.where(c1, nearest, goal_reached)
+    dist_left = jnp.where(c1, dist_goal, dist_left)
+    # 2. first time at a goal
+    c2 = near & (times_required == -1)
+    times_required = jnp.where(c2, t_time, times_required)
+    dists_to_goal = jnp.where(c2, state.p_dist, dists_to_goal)
+    dist_left = jnp.where(c2, dist_goal, dist_left)
+    goal_reached = jnp.where(c2, nearest, goal_reached)
+    # 3. not yet reached
+    c3 = times_required == -1
+    dists_to_goal = jnp.where(c3, state.p_dist, dists_to_goal)
+    dist_left = jnp.where(c3, dist_goal, dist_left)
+    # 4. left the goal
+    c4 = (dist_goal > cfg.goal_threshold) & (times_required != -1)
+    dists_to_goal = jnp.where(c4, state.p_dist, dists_to_goal)
+    times_required = jnp.where(c4, t_time, times_required)
+    dist_left = jnp.where(c4, dist_goal, dist_left)
+    # 5. still on the same goal
+    c5 = near & (nearest == goal_reached)
+    dist_left = jnp.where(c5, dist_goal, dist_left)
+
+    # collision counters (july:777-786)
+    d_agents = dist_ops.pairwise_distances(pos)
+    coll = (
+        (d_agents < cfg.separation_distance)
+        & ~state.status[:, None]
+        & ~state.status[None, :]
+        & ~jnp.eye(params.num_agents, dtype=bool)
+    )
+    num_agent_collisions = state.num_agent_collisions + jnp.sum(coll, axis=-1).astype(dtype)
+    obst = jax.vmap(lambda p: _obstacle_collision(params, state, p))(pos)
+    num_obstacle_collisions = state.num_obstacle_collisions + obst.astype(dtype)
+
+    return state.replace(
+        goal_reached=goal_reached,
+        times_required=times_required,
+        dists_to_goal=dists_to_goal,
+        dist_left_to_goal=dist_left,
+        num_agent_collisions=num_agent_collisions,
+        num_obstacle_collisions=num_obstacle_collisions,
+    )
+
+
+def _info_dict(params: EnvParams, state: EnvState) -> dict:
+    """Logged metrics matching info_callback keys (july:806-829)."""
+    dtype = state.dists_to_goal.dtype
+    eps = jnp.asarray(1e-4, dtype)
+    dmean = jnp.mean(state.dists_to_goal)
+    dstd = jnp.std(state.dists_to_goal)
+    tmean = jnp.mean(state.times_required)
+    tstd = jnp.std(state.times_required)
+    spacing_tot = jnp.sum(state.spacing_violation)
+    return {
+        "Dist_to_goal": state.dist_left_to_goal,
+        "Time_req_to_goal": state.times_required,
+        "Num_agent_collisions": state.num_agent_collisions,
+        "Num_obst_collisions": state.num_obstacle_collisions,
+        "Distance_mean": dmean,
+        "Distance_variance": dstd,
+        "Mean_by_variance": dmean / (dstd + eps),
+        "Dists_traveled": state.dists_to_goal,
+        "Time_taken": state.times_required,
+        "Time_mean": tmean,
+        "Time_stddev": tstd,
+        "Time_mean_by_stddev": tmean / (tstd + eps),
+        "Conformance": state.conformance / params.episode_length,
+        "Delta_spacing": state.delta_spacing_sum
+        / jnp.where(spacing_tot != 0, spacing_tot, 1.0),
+        "Spacing_violations": state.spacing_violation
+        / jnp.where(state.steps_in_corridor != 0, state.steps_in_corridor, 1.0),
+        "Min_time_to_goal": state.goal_min_time,
+    }
+
+
+def step(params: EnvParams, state: EnvState, action_idx: Array) -> tuple[EnvState, TimeStep]:
+    """One full environment step for one env instance.
+
+    Order of operations replicates ``MultiAgentGraphEnv.step``
+    (environment.py:1021-1063): counter increments, action decode
+    (``_set_action``), ``world.step()`` physics, then the per-agent
+    obs/reward/graph/done/info sweep in agent-id order.
+    """
+    cfg = params.cfg
+    dtype = state.agent_states.dtype
+    n = params.num_agents
+
+    # counters (environment.py:1027,1030)
+    t_new = state.t + 1
+
+    # action decode (environment.py:336-475) + physics (core.py:687-756)
+    table = jnp.asarray(action_mod.action_table(cfg, params.total_actions), dtype)
+    u = jnp.take(table, action_idx.reshape(-1), axis=0)
+    active = ~state.status
+    values = dynamics.integrate(
+        state.agent_states, u, cfg, active, method=params.integrator
+    )
+    speed = dynamics.speed_of(values, cfg)
+    state = state.replace(
+        t=t_new,
+        sim_time=state.sim_time + cfg.dt,
+        p_dist=state.p_dist + jnp.where(active, speed * cfg.dt, 0.0).astype(dtype),
+        time=state.time + jnp.where(active, cfg.dt, 0.0).astype(dtype),
+        agent_states=values,
+    )
+
+    # observations for all agents (phase call #1, vectorized)
+    state, obs = observations(params, state)
+
+    # sequential reward sweep (phase call #2 each; status/velocity mutations
+    # visible to later agents), node features captured per agent right after
+    # its reward, like graph_observation's call position (environment.py:1040-1046)
+    values = state.agent_states
+    rewards = []
+    node_obs = []
+    for i in range(n):
+        rew_i, state, values = _reward_one_agent(params, state, values, i)
+        rewards.append(rew_i)
+        node_obs.append(_node_obs_for_agent(params, state, values, i))
+    state = state.replace(agent_states=values)
+    reward = jnp.stack(rewards)
+    node_obs = jnp.stack(node_obs)
+
+    # final shared adjacency (the reference masks one aliased array in place,
+    # so every agent ends up with the post-sweep version)
+    adj = masked_adjacency(params, state, values)
+
+    # dones (environment.py:263-271): status or episode length reached
+    done = state.status | (t_new >= params.episode_length)
+
+    # info bookkeeping (july:741-829)
+    state = _update_info_stats(params, state, values)
+    info = _info_dict(params, state)
+
+    ts = TimeStep(
+        obs=obs,
+        agent_id=jnp.arange(n, dtype=jnp.int32)[:, None],
+        node_obs=node_obs,
+        adj=adj,
+        reward=reward,
+        done=done,
+        info=info,
+    )
+    return state, ts
+
+
+def reset_outputs(params: EnvParams, state: EnvState):
+    """Post-reset observations (MultiAgentGraphEnv.reset, environment.py:1066-1084).
+
+    Runs phase call #1 per agent (mutating state) and builds node features /
+    adjacency from the fresh state.
+    """
+    state, obs = observations(params, state)
+    values = state.agent_states
+    node_obs = jnp.stack(
+        [_node_obs_for_agent(params, state, values, i) for i in range(params.num_agents)]
+    )
+    adj = masked_adjacency(params, state, values)
+    agent_id = jnp.arange(params.num_agents, dtype=jnp.int32)[:, None]
+    return state, obs, node_obs, adj, agent_id

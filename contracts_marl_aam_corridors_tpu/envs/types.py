@@ -1,0 +1,167 @@
+"""Struct-of-arrays environment state and parameters.
+
+The reference scatters episode state across mutable ``World``/``Agent``/
+``Scenario`` objects (``multiagent/core.py:346-1005``, scenario attributes in
+``custom_scenarios/nav_metered_one_goal_graph_rotate_tube_july.py:339-438``).
+Here every piece of that state lives in one immutable pytree so the whole env
+step is a pure function that ``vmap``/``scan``/``shard_map`` compose over.
+
+Entity ordering in the flattened "graph" axis matches the reference's
+``World.entities`` property (core.py:574-582): agents, then landmarks, then
+obstacles (walls excluded in the primary configs).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config.physics import RewardToggles, RewardWeights, VehicleConfig
+
+Array = jax.Array
+
+
+@struct.dataclass
+class EnvParams:
+    """Static (hashable) environment configuration.
+
+    One ``EnvParams`` = one compiled step function.  Mirrors the scenario
+    parameters pulled from ``args`` in the reference's ``make_world``
+    (july:154-242) plus the physics config class.
+    """
+
+    cfg: VehicleConfig = struct.field(pytree_node=False)
+    scenario: str = struct.field(pytree_node=False, default="rotate_tube_july")
+    num_agents: int = struct.field(pytree_node=False, default=3)
+    num_landmarks: int = struct.field(pytree_node=False, default=3)
+    num_obstacles: int = struct.field(pytree_node=False, default=0)
+    episode_length: int = struct.field(pytree_node=False, default=25)
+    world_size: float = struct.field(pytree_node=False, default=2.0)
+    total_actions: int = struct.field(pytree_node=False, default=5)
+    collision_rew: float = struct.field(pytree_node=False, default=5.0)
+    goal_rew: float = struct.field(pytree_node=False, default=50.0)
+    formation_rew: float = struct.field(pytree_node=False, default=1.0)
+    fair_rew: float = struct.field(pytree_node=False, default=1.0)
+    max_speed: float = struct.field(pytree_node=False, default=2.0)
+    formation_type: str = struct.field(pytree_node=False, default="point")
+    use_dones: bool = struct.field(pytree_node=False, default=False)
+    # observation/graph feature mode ('relative' is the trained default)
+    graph_feat_type: str = struct.field(pytree_node=False, default="relative")
+    reward_weights: RewardWeights = struct.field(
+        pytree_node=False, default_factory=RewardWeights
+    )
+    reward_toggles: RewardToggles = struct.field(
+        pytree_node=False, default_factory=RewardToggles
+    )
+    use_safety_filter: bool = struct.field(pytree_node=False, default=False)
+    # Parity hook: when set, goal-reach velocity resets use this fixed heading
+    # instead of a random draw (reference core.py:324-333 draws U(0, 2pi));
+    # lets golden tests compare trajectories bit-for-bit.
+    parity_fixed_reset_theta: Optional[float] = struct.field(
+        pytree_node=False, default=None
+    )
+    # Entrance-gate ratios (july:611-613).
+    gate_front_ratio: float = struct.field(pytree_node=False, default=0.08)
+    gate_back_ratio: float = struct.field(pytree_node=False, default=0.02)
+    # 'closed_form' (exact, TPU hot path) or 'rk45' (scipy-replica, parity).
+    integrator: str = struct.field(pytree_node=False, default="closed_form")
+
+    @property
+    def num_entities(self) -> int:
+        return self.num_agents + self.num_landmarks + self.num_obstacles
+
+    @property
+    def node_feat_dim(self) -> int:
+        return 8  # [rel_vel(2), rel_pos(2), rel_goal(2), occupied(1), type(1)]
+
+    @property
+    def obs_dim(self) -> int:
+        if self.scenario == "rot_inv":
+            return 13
+        return 19
+
+    @property
+    def num_actions(self) -> int:
+        from ..config.physics import DynamicsType
+
+        if self.cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+            return self.total_actions
+        return self.cfg.num_motion_primitives
+
+
+@struct.dataclass
+class TubeParams:
+    """Rotated corridor geometry (reference july ``setup_tube_params``:518-613)."""
+
+    entrance: Array  # (2,)
+    exit: Array  # (2,)
+    width: Array  # ()
+    angle: Array  # ()
+    length: Array  # ()  nominal 0.8*world_size
+    e: Array  # (2,) unit corridor direction entrance->exit
+    n: Array  # (2,) left-hand normal
+    frame_length: Array  # () ||exit-entrance|| + 1e-9 (reference 'L')
+    half_width: Array  # ()
+
+
+@struct.dataclass
+class EnvState:
+    """Complete per-environment episode state."""
+
+    # --- physical agent state (reference core.py BaseEntityState) ---
+    agent_states: Array  # (N, 4)
+    p_dist: Array  # (N,) odometry
+    time: Array  # (N,) per-agent clock
+    status: Array  # (N,) bool: True once frozen at goal (july:1187-1191)
+    # --- phase machine (july:683-733, 1146-1204) ---
+    prev_phase: Array  # (N,) int32 — persists across resets, like the
+    #   reference's lazily-created ``agent.previous_phase`` which reset_world
+    #   never clears (a deliberate parity quirk)
+    phase_reached: Array  # (N,) int32
+    entry_cooldown: Array  # (N,) int32
+    prev_proj: Array  # (N,) rot_inv progress-reward state (rot_inv:1265-1275)
+    # --- scene ---
+    tube: TubeParams
+    landmark_pos: Array  # (L, 2)
+    obstacle_pos: Array  # (O, 2)
+    occupied: Array  # (N,) landmark_poses_occupied (july:506)
+    goal_match: Array  # (N,) int32 goal_match_index (identity each reset)
+    goal_tracker: Array  # (N,) int32, -1 until agent freezes on its goal
+    goal_reached: Array  # (N,) int32 nearest-landmark bookkeeping (info)
+    goal_history: Array  # (L,) int32 which agent last occupied each goal
+    # --- episode metrics (scenario + world stats) ---
+    spacing_violation: Array  # (N,)
+    conformance: Array  # (N,)
+    steps_in_corridor: Array  # (N,)
+    delta_spacing_sum: Array  # () running sum of per-call spacing errors
+    times_required: Array  # (N,)
+    dists_to_goal: Array  # (N,)
+    dist_left_to_goal: Array  # (N,)
+    num_agent_collisions: Array  # (N,)
+    num_obstacle_collisions: Array  # (N,)
+    goal_min_time: Array  # (N,)
+    # --- clocks & rng ---
+    t: Array  # () int32 step counter (world.current_time_step)
+    sim_time: Array  # ()
+    key: Array  # jax PRNG key
+
+
+@struct.dataclass
+class TimeStep:
+    """Everything the learner consumes per step, stacked over agents.
+
+    Matches the tuple returned by ``MultiAgentGraphEnv.step``
+    (multiagent/environment.py:1021-1063): per-agent obs, agent ids, node
+    features, adjacency, rewards, dones, plus auto-reset bookkeeping.
+    """
+
+    obs: Array  # (N, obs_dim)
+    agent_id: Array  # (N, 1)
+    node_obs: Array  # (N, E, F)
+    adj: Array  # (N, E, E)
+    reward: Array  # (N,)
+    done: Array  # (N,) bool
+    info: dict = struct.field(default_factory=dict)

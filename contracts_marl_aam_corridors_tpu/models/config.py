@@ -1,0 +1,42 @@
+"""Model hyperparameters, mirroring the reference's network flags.
+
+Defaults match ``onpolicy/config.py`` ``get_config`` (hidden_size 64, layer_N 1,
+ReLU, orthogonal init, gain 0.01, recurrent_N 1) and ``graph_config``
+(:409-484: 4 entity-type embeddings of size 2, embed hidden 16, gnn hidden 16,
+3 averaged heads, 2 extra conv layers, actor aggr 'node', critic aggr
+'global'/mean, use_cent_obs False).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    hidden_size: int = 64
+    layer_N: int = 1
+    use_relu: bool = True
+    use_feature_normalization: bool = True
+    use_orthogonal: bool = True
+    gain: float = 0.01
+    use_recurrent_policy: bool = True
+    recurrent_n: int = 1
+    # GNN
+    num_embeddings: int = 4
+    embedding_size: int = 2
+    embed_hidden_size: int = 16
+    embed_layer_n: int = 1
+    gnn_hidden_size: int = 16
+    gnn_num_heads: int = 3
+    gnn_concat_heads: bool = False
+    gnn_layer_n: int = 2
+    actor_graph_aggr: str = "node"
+    critic_graph_aggr: str = "global"
+    global_aggr_type: str = "mean"
+    use_cent_obs: bool = False
+    max_edge_dist: float = 1.0
+    use_popart: bool = False
+
+    @property
+    def gnn_out_dim(self) -> int:
+        return self.gnn_hidden_size * (self.gnn_num_heads if self.gnn_concat_heads else 1)
