@@ -1,0 +1,105 @@
+"""Graph-recurrent actor and critic (reference ``GR_Actor``/``GR_Critic``,
+onpolicy/algorithms/graph_actor_critic.py:32-397) as Flax modules.
+
+Shapes (single step):
+    obs         (B, obs_dim)          flattened threads*agents rows
+    node_obs    (B, E, F)
+    adj         (B, E, E)
+    agent_id    (B, 1)
+    rnn_states  (B, recurrent_N, H)
+    masks       (B, 1)   0 => episode boundary, reset hidden state
+    available_actions (B, A) or None
+
+The reference's ``split_batch`` minibatching (graph_actor_critic.py:16-29,
+147-163) is a host-side OOM workaround with no numeric effect; under XLA the
+whole batch is one fused launch, so it has no equivalent here.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import distributions as dist
+from .config import ModelConfig
+from .nets import GNNBase, MLPBase, RNNLayer, dense_init
+
+Array = jax.Array
+
+
+class GRActor(nn.Module):
+    """GNN(node ego-gather) ++ obs -> MLP -> GRU -> categorical logits."""
+
+    cfg: ModelConfig
+    num_actions: int
+
+    @nn.compact
+    def __call__(
+        self,
+        obs: Array,
+        node_obs: Array,
+        adj: Array,
+        agent_id: Array,
+        rnn_states: Array,
+        masks: Array,
+        available_actions: Optional[Array] = None,
+    ):
+        cfg = self.cfg
+        gnn = nn.vmap(
+            GNNBase,
+            in_axes=(0, 0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(cfg, graph_aggr=cfg.actor_graph_aggr, name="gnn_base")
+        nbd = gnn(node_obs, adj, agent_id)
+        x = jnp.concatenate([obs, nbd], axis=-1)
+        x = MLPBase(cfg, name="base")(x)
+        if cfg.use_recurrent_policy:
+            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
+        logits = nn.Dense(
+            self.num_actions, kernel_init=dense_init(cfg, cfg.gain), name="action_out"
+        )(x)
+        logits = dist.mask_logits(logits, available_actions)
+        return logits, rnn_states
+
+
+class GRCritic(nn.Module):
+    """GNN(global pool) [++ cent_obs] -> MLP -> GRU -> scalar value."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        cent_obs: Array,
+        node_obs: Array,
+        adj: Array,
+        agent_id: Array,
+        rnn_states: Array,
+        masks: Array,
+    ):
+        cfg = self.cfg
+        gnn = nn.vmap(
+            GNNBase,
+            in_axes=(0, 0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(cfg, graph_aggr=cfg.critic_graph_aggr, name="gnn_base")
+        nbd = gnn(node_obs, adj, agent_id)
+        if cfg.use_cent_obs:
+            x = jnp.concatenate([cent_obs, nbd], axis=-1)
+        else:
+            x = nbd
+        x = MLPBase(cfg, name="base")(x)
+        if cfg.use_recurrent_policy:
+            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
+        # v_out: plain linear (PopArt handled by the ValueNorm-style wrapper in
+        # the trainer; reference defaults use_popart=False, config.py).
+        values = nn.Dense(
+            1, kernel_init=dense_init(cfg, 1.0), name="v_out"
+        )(x)
+        return values, rnn_states

@@ -1,0 +1,275 @@
+"""Network building blocks: MLP trunk, GRU, and the dense-graph transformer.
+
+Functional re-design of the reference's torch modules
+(``onpolicy/algorithms/utils/{mlp,rnn,gnn_new}.py``) as Flax linen modules.
+The key architectural change is the GNN: the reference converts each dense
+distance-matrix adjacency into a PyTorch-Geometric COO graph per forward pass
+(``gnn_new.py:328-358``) and runs sparse scatter/gather message passing.  On
+TPU the entity count is tiny (≤ ~25) and static, so we keep the graph DENSE:
+messages live in an ``(E, E, F)`` tensor, aggregation is a masked matmul on
+the MXU, and there is no dynamic shape anywhere.  Numerics match the sparse
+formulation exactly (see tests/test_models.py oracle).
+
+Conventions:
+- torch ``nn.Linear`` stores kernels (out, in); flax stores (in, out).  The
+  checkpoint importer transposes.
+- all LayerNorms use eps=1e-5 to match torch defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import ModelConfig
+
+Array = jax.Array
+
+ORTHO = nn.initializers.orthogonal
+XAVIER_U = nn.initializers.xavier_uniform
+RELU_GAIN = 1.4142135623730951  # torch nn.init.calculate_gain('relu')
+TANH_GAIN = 5.0 / 3.0
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def dense_init(cfg: ModelConfig, gain: float):
+    """Reference ``init_`` helper (mlp.py:22-24): orthogonal/xavier + zero bias."""
+    if cfg.use_orthogonal:
+        return ORTHO(scale=gain)
+    return XAVIER_U()
+
+
+class MLPLayer(nn.Module):
+    """fc1 + layer_N hidden blocks, each Linear->act->LayerNorm (mlp.py:8-41)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        act = nn.relu if cfg.use_relu else nn.tanh
+        gain = RELU_GAIN if cfg.use_relu else TANH_GAIN
+        for i in range(1 + cfg.layer_N):
+            x = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg, gain), name=f"fc{i}")(x)
+            x = act(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name=f"ln{i}")(x)
+        return x
+
+
+class MLPBase(nn.Module):
+    """Optional feature LayerNorm then MLPLayer (mlp.py:44-75)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.cfg.use_feature_normalization:
+            x = nn.LayerNorm(epsilon=LN_EPS, name="feature_norm")(x)
+        return MLPLayer(self.cfg, name="mlp")(x)
+
+
+class GRULayer(nn.Module):
+    """One torch-semantics GRU layer.
+
+    Matches ``nn.GRU`` gate math exactly (r/z/n ordering, the hidden-side
+    bias *inside* the reset gate product):
+        r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+        z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+        n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
+        h' = (1 - z) * n + z * h
+    """
+
+    hidden_size: int
+    use_orthogonal: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, h: Array) -> Array:
+        H = self.hidden_size
+        init = ORTHO() if self.use_orthogonal else XAVIER_U()
+        # stored transposed relative to torch: (in, 3H) so apply is x @ W
+        w_ih = self.param("w_ih", lambda k, s: init(k, (3 * H, x.shape[-1])).T, None)
+        w_hh = self.param("w_hh", lambda k, s: init(k, (3 * H, H)).T, None)
+        b_ih = self.param("b_ih", nn.initializers.zeros, (3 * H,))
+        b_hh = self.param("b_hh", nn.initializers.zeros, (3 * H,))
+        gi = x @ w_ih + b_ih
+        gh = h @ w_hh + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h
+
+
+class RNNLayer(nn.Module):
+    """GRU stack + LayerNorm with mask-gated hidden-state resets (rnn.py:6-79).
+
+    Single-step form only: ``x`` is (B, in), ``hxs`` is (B, recurrent_N, H),
+    ``masks`` is (B, 1) with 0 at episode starts (hidden state zeroed before
+    use, rnn.py:26-27).  Sequence processing is an outer ``lax.scan`` over
+    this cell — the reference's ``has_zeros`` chunk loop (rnn.py:42-75) is a
+    CPU-side optimization of exactly this computation and is unnecessary
+    under XLA.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: Array, hxs: Array, masks: Array):
+        cfg = self.cfg
+        new_h = []
+        inp = x
+        for l in range(cfg.recurrent_n):
+            h = hxs[:, l, :] * masks
+            h_next = GRULayer(cfg.hidden_size, cfg.use_orthogonal, name=f"gru{l}")(inp, h)
+            new_h.append(h_next)
+            inp = h_next
+        out = nn.LayerNorm(epsilon=LN_EPS, name="norm")(inp)
+        return out, jnp.stack(new_h, axis=1)
+
+
+def adjacency_mask(adj: Array, max_edge_dist: float):
+    """Edge mask + weights from a distance-magnitude adjacency.
+
+    Replicates ``TransformerConvNet.process_adj`` (gnn_new.py:328-358): keep
+    ``0 < d < max_edge_dist``; the edge attribute is the distance itself.
+    ``adj[s, t]`` is an edge source s -> target t (PyG source_to_target flow).
+    """
+    mask = (adj > 0) & (adj < max_edge_dist)
+    return mask, adj * mask
+
+
+class EmbedConv(nn.Module):
+    """Dense form of the reference's ``EmbedConv`` message-passing layer
+    (gnn_new.py:21-145).
+
+    Per directed edge s->t the message is
+    ``MLP([node_feat_s, Embed(entity_type_s), dist_st])`` and node t sums its
+    incoming messages (aggr='add').  There is NO self loop (the reference only
+    adds them when edge_attr is None, gnn_new.py:112) and no root/skip term:
+    an isolated node comes out all-zero.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: Array, edge_mask: Array, edge_attr: Array) -> Array:
+        # x: (E, F) with entity type in the last column; edge_mask/attr: (E, E)
+        cfg = self.cfg
+        E = x.shape[0]
+        act = nn.relu if cfg.use_relu else nn.tanh
+        gain = RELU_GAIN if cfg.use_relu else TANH_GAIN
+
+        feat = x[:, :-1]
+        etype = x[:, -1].astype(jnp.int32)
+        emb = nn.Embed(cfg.num_embeddings, cfg.embedding_size, name="entity_embed")(etype)
+        src = jnp.concatenate([feat, emb], axis=-1)  # (E, F-1+emb)
+
+        # Per-edge input = [src_features (source-only), distance (edge)].
+        # Split the first Dense across the two parts so the (E,E,·) tensor is
+        # built at hidden width, not input width.
+        h_src = nn.Dense(
+            cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain), name="lin1"
+        )(src)
+        w_edge = self.param(
+            "lin1_edge", dense_init(cfg, gain), (1, cfg.embed_hidden_size)
+        )
+        msg = h_src[:, None, :] + edge_attr[:, :, None] * w_edge[0][None, None, :]
+        msg = act(msg)
+        msg = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(msg)
+        for i in range(cfg.embed_layer_n):
+            msg = nn.Dense(
+                cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain), name=f"lin{i+2}"
+            )(msg)
+            msg = act(msg)
+            msg = nn.LayerNorm(epsilon=LN_EPS, name=f"ln{i+2}")(msg)
+        # aggregate: out[t] = sum_s mask[s, t] * msg[s, t]
+        return jnp.einsum("st,stf->tf", edge_mask.astype(msg.dtype), msg)
+
+
+class TransformerConv(nn.Module):
+    """Dense PyG ``TransformerConv`` (beta=False, dropout=0, root_weight=True,
+    bias=True, edge_dim=1), per gnn_new.py:247-269.
+
+    For edge s->t and head h:
+        q_t = W_q x_t + b_q;  k_s = W_k x_s + b_k;  v_s = W_v x_s + b_v
+        e_st = W_e d_st                       (no bias)
+        alpha_st = softmax_s((q_t . (k_s + e_st)) / sqrt(C))
+        out_t = mean_h( sum_s alpha_st (v_s + e_st) ) + W_skip x_t + b_skip
+    A node with no in-edges gets only the skip term (PyG sums zero messages).
+    """
+
+    cfg: ModelConfig
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: Array, edge_mask: Array, edge_attr: Array) -> Array:
+        cfg = self.cfg
+        H, C = cfg.gnn_num_heads, self.out_channels
+        E = x.shape[0]
+        # PyG Linear default init: kaiming-ish 'glorot'; init only matters
+        # before training, keep xavier for fresh params.
+        q = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_query")(x).reshape(E, H, C)
+        k = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_key")(x).reshape(E, H, C)
+        v = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_value")(x).reshape(E, H, C)
+        w_e = self.param("lin_edge", XAVIER_U(), (1, H * C))
+        e = (edge_attr[:, :, None] * w_e[0][None, None, :]).reshape(E, E, H, C)
+
+        # logits[s, t, h] = q[t,h] . (k[s,h] + e[s,t,h]) / sqrt(C)
+        logits = jnp.einsum("thc,sthc->sth", q, k[:, None, :, :] + e) / jnp.sqrt(
+            jnp.asarray(C, x.dtype)
+        )
+        neg = jnp.finfo(x.dtype).min
+        logits = jnp.where(edge_mask[:, :, None], logits, neg)
+        alpha = jax.nn.softmax(logits, axis=0)
+        has_edge = jnp.any(edge_mask, axis=0)  # (E,) per target
+        alpha = jnp.where(has_edge[None, :, None], alpha, 0.0)
+
+        msg = v[:, None, :, :] + e  # (E, E, H, C)
+        out = jnp.einsum("sth,sthc->thc", alpha, msg)
+        if cfg.gnn_concat_heads:
+            out = out.reshape(E, H * C)
+            skip_dim = H * C
+        else:
+            out = out.mean(axis=1)
+            skip_dim = C
+        out = out + nn.Dense(skip_dim, kernel_init=XAVIER_U(), name="lin_skip")(x)
+        return out
+
+
+class GNNBase(nn.Module):
+    """EmbedConv -> TransformerConv x (1 + gnn_layer_N) -> node-gather or
+    global pool (gnn_new.py:148-301, 420-510).  Operates on ONE graph; vmap
+    for batches.
+    """
+
+    cfg: ModelConfig
+    graph_aggr: str  # 'node' (actor) or 'global' (critic)
+
+    @nn.compact
+    def __call__(self, node_obs: Array, adj: Array, agent_id: Array) -> Array:
+        cfg = self.cfg
+        act = nn.relu if cfg.use_relu else nn.tanh
+        edge_mask, edge_attr = adjacency_mask(adj, cfg.max_edge_dist)
+        x = EmbedConv(cfg, name="embed_layer")(node_obs, edge_mask, edge_attr)
+        x = act(TransformerConv(cfg, cfg.gnn_hidden_size, name="gnn1")(x, edge_mask, edge_attr))
+        for i in range(cfg.gnn_layer_n):
+            x = act(
+                TransformerConv(cfg, cfg.gnn_hidden_size, name=f"gnn2_{i}")(
+                    x, edge_mask, edge_attr
+                )
+            )
+        if self.graph_aggr == "node":
+            return x[jnp.asarray(agent_id).reshape(()).astype(jnp.int32)]
+        if self.graph_aggr == "global":
+            if cfg.global_aggr_type == "mean":
+                return x.mean(axis=0)
+            if cfg.global_aggr_type == "max":
+                return x.max(axis=0)
+            if cfg.global_aggr_type == "add":
+                return x.sum(axis=0)
+        raise ValueError(f"bad graph_aggr {self.graph_aggr}")

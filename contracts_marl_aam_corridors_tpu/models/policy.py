@@ -1,0 +1,237 @@
+"""Policy wrapper: actor+critic params, optimizers, and the action API.
+
+Functional counterpart of ``GR_MAPPOPolicy``
+(onpolicy/algorithms/graph_MAPPOPolicy.py:11-307): two Adam optimizers with
+eps=1e-5 (:71-77), ``get_actions``/``get_values``/``evaluate_actions``/``act``,
+and linear lr decay (``lr_decay``:79 -> utils.util.update_linear_schedule).
+All methods are pure (params in, tensors out) so they jit/vmap/shard freely.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from . import distributions as dist
+from .actor_critic import GRActor, GRCritic
+from .config import ModelConfig
+
+Array = jax.Array
+
+
+@struct.dataclass
+class PolicyParams:
+    actor: Any
+    critic: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyDims:
+    obs_dim: int
+    cent_obs_dim: int
+    num_entities: int
+    node_feat_dim: int
+    num_actions: int
+
+
+class GRMAPPOPolicy:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        dims: PolicyDims,
+        lr: float = 7e-4,
+        critic_lr: float = 7e-4,
+        opti_eps: float = 1e-5,
+        weight_decay: float = 0.0,
+        max_grad_norm: float = 10.0,
+        use_max_grad_norm: bool = True,
+        total_updates: int = 1,
+        use_linear_lr_decay: bool = False,
+    ):
+        self.cfg = cfg
+        self.dims = dims
+        self.actor = GRActor(cfg, dims.num_actions)
+        self.critic = GRCritic(cfg)
+
+        def schedule(base_lr):
+            if use_linear_lr_decay:
+                # update_linear_schedule: lr * (1 - epoch/total)
+                return optax.linear_schedule(base_lr, 0.0, total_updates)
+            return base_lr
+
+        def make_opt(base_lr):
+            tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=schedule(base_lr), eps=opti_eps
+            )
+            if use_max_grad_norm:
+                tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+            return tx
+
+        self.actor_tx = make_opt(lr)
+        self.critic_tx = make_opt(critic_lr)
+
+    # ---------------- init ----------------
+    def init_params(self, key: Array, dtype=jnp.float32) -> PolicyParams:
+        d = self.dims
+        k1, k2 = jax.random.split(key)
+        obs = jnp.zeros((1, d.obs_dim), dtype)
+        cent = jnp.zeros((1, d.cent_obs_dim), dtype)
+        node = jnp.zeros((1, d.num_entities, d.node_feat_dim), dtype)
+        adj = jnp.zeros((1, d.num_entities, d.num_entities), dtype)
+        aid = jnp.zeros((1, 1), jnp.int32)
+        h = jnp.zeros((1, self.cfg.recurrent_n, self.cfg.hidden_size), dtype)
+        m = jnp.ones((1, 1), dtype)
+        actor = self.actor.init(k1, obs, node, adj, aid, h, m)["params"]
+        critic = self.critic.init(k2, cent, node, adj, aid, h, m)["params"]
+        return PolicyParams(actor=actor, critic=critic)
+
+    def init_opt_states(self, params: PolicyParams):
+        return self.actor_tx.init(params.actor), self.critic_tx.init(params.critic)
+
+    # ---------------- forward APIs ----------------
+    def get_actions(
+        self,
+        params: PolicyParams,
+        key: Array,
+        cent_obs: Array,
+        obs: Array,
+        node_obs: Array,
+        adj: Array,
+        agent_id: Array,
+        share_agent_id: Array,
+        rnn_states_actor: Array,
+        rnn_states_critic: Array,
+        masks: Array,
+        available_actions: Optional[Array] = None,
+        deterministic: bool = False,
+    ):
+        """Rollout-time joint actor+critic pass (graph_MAPPOPolicy.py:96-165)."""
+        logits, rnn_states_actor = self.actor.apply(
+            {"params": params.actor},
+            obs,
+            node_obs,
+            adj,
+            agent_id,
+            rnn_states_actor,
+            masks,
+            available_actions,
+        )
+        actions = dist.mode(logits) if deterministic else dist.sample(key, logits)
+        action_log_probs = dist.log_probs(logits, actions)
+        values, rnn_states_critic = self.critic.apply(
+            {"params": params.critic},
+            cent_obs,
+            node_obs,
+            adj,
+            share_agent_id,
+            rnn_states_critic,
+            masks,
+        )
+        return values, actions, action_log_probs, rnn_states_actor, rnn_states_critic
+
+    def get_values(
+        self, params, cent_obs, node_obs, adj, share_agent_id, rnn_states_critic, masks
+    ):
+        values, _ = self.critic.apply(
+            {"params": params.critic},
+            cent_obs,
+            node_obs,
+            adj,
+            share_agent_id,
+            rnn_states_critic,
+            masks,
+        )
+        return values
+
+    def evaluate_actions(
+        self,
+        params: PolicyParams,
+        cent_obs,
+        obs,
+        node_obs,
+        adj,
+        agent_id,
+        share_agent_id,
+        rnn_states_actor,
+        rnn_states_critic,
+        action,
+        masks,
+        available_actions=None,
+        active_masks=None,
+        time_major: bool = False,
+    ):
+        """Training-time logp/entropy/values (graph_MAPPOPolicy.py:199-264).
+
+        With ``time_major=True`` the leading axes are (T, B, ...) and the
+        actor/critic trunks run under ``lax.scan`` over T with the GRU carry —
+        replacing the reference's has_zeros chunk loop (rnn.py:42-75).
+        """
+        if not time_major:
+            logits, _ = self.actor.apply(
+                {"params": params.actor},
+                obs, node_obs, adj, agent_id, rnn_states_actor, masks,
+                available_actions,
+            )
+            values, _ = self.critic.apply(
+                {"params": params.critic},
+                cent_obs, node_obs, adj, share_agent_id, rnn_states_critic, masks,
+            )
+        else:
+            def actor_step(h, xs):
+                o, no, ad, ai, m, av = xs
+                lg, h = self.actor.apply(
+                    {"params": params.actor}, o, no, ad, ai, h, m, av
+                )
+                return h, lg
+
+            _, logits = jax.lax.scan(
+                actor_step,
+                rnn_states_actor,
+                (obs, node_obs, adj, agent_id, masks, available_actions),
+            )
+
+            def critic_step(h, xs):
+                co, no, ad, ai, m = xs
+                v, h = self.critic.apply(
+                    {"params": params.critic}, co, no, ad, ai, h, m
+                )
+                return h, v
+
+            _, values = jax.lax.scan(
+                critic_step,
+                rnn_states_critic,
+                (cent_obs, node_obs, adj, share_agent_id, masks),
+            )
+        action_log_probs = dist.log_probs(logits, action)
+        ent = dist.entropy(logits)
+        if active_masks is not None:
+            am = active_masks.squeeze(-1)
+            dist_entropy = jnp.sum(ent * am) / jnp.sum(am)
+        else:
+            dist_entropy = ent.mean()
+        return values, action_log_probs, dist_entropy
+
+    def act(
+        self,
+        params: PolicyParams,
+        key: Array,
+        obs,
+        node_obs,
+        adj,
+        agent_id,
+        rnn_states_actor,
+        masks,
+        available_actions=None,
+        deterministic: bool = False,
+    ):
+        logits, rnn_states_actor = self.actor.apply(
+            {"params": params.actor},
+            obs, node_obs, adj, agent_id, rnn_states_actor, masks,
+            available_actions,
+        )
+        actions = dist.mode(logits) if deterministic else dist.sample(key, logits)
+        return actions, rnn_states_actor
