@@ -91,10 +91,12 @@ class GRULayer(nn.Module):
         H = self.hidden_size
         init = ORTHO() if self.use_orthogonal else XAVIER_U()
         # stored transposed relative to torch: (in, 3H) so apply is x @ W
-        w_ih = self.param("w_ih", lambda k, s: init(k, (3 * H, x.shape[-1])).T, None)
-        w_hh = self.param("w_hh", lambda k, s: init(k, (3 * H, H)).T, None)
-        b_ih = self.param("b_ih", nn.initializers.zeros, (3 * H,))
-        b_hh = self.param("b_hh", nn.initializers.zeros, (3 * H,))
+        w_ih = self.param(
+            "w_ih", lambda k, s: init(k, (3 * H, x.shape[-1]), jnp.float32).T, None
+        )
+        w_hh = self.param("w_hh", lambda k, s: init(k, (3 * H, H), jnp.float32).T, None)
+        b_ih = self.param("b_ih", nn.initializers.zeros, (3 * H,), jnp.float32)
+        b_hh = self.param("b_hh", nn.initializers.zeros, (3 * H,), jnp.float32)
         gi = x @ w_ih + b_ih
         gh = h @ w_hh + b_hh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
@@ -176,7 +178,7 @@ class EmbedConv(nn.Module):
             cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain), name="lin1"
         )(src)
         w_edge = self.param(
-            "lin1_edge", dense_init(cfg, gain), (1, cfg.embed_hidden_size)
+            "lin1_edge", dense_init(cfg, gain), (1, cfg.embed_hidden_size), jnp.float32
         )
         msg = h_src[:, None, :] + edge_attr[:, :, None] * w_edge[0][None, None, :]
         msg = act(msg)
@@ -216,7 +218,7 @@ class TransformerConv(nn.Module):
         q = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_query")(x).reshape(E, H, C)
         k = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_key")(x).reshape(E, H, C)
         v = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_value")(x).reshape(E, H, C)
-        w_e = self.param("lin_edge", XAVIER_U(), (1, H * C))
+        w_e = self.param("lin_edge", XAVIER_U(), (1, H * C), jnp.float32)
         e = (edge_attr[:, :, None] * w_e[0][None, None, :]).reshape(E, E, H, C)
 
         # logits[s, t, h] = q[t,h] . (k[s,h] + e[s,t,h]) / sqrt(C)
