@@ -1,0 +1,150 @@
+"""Training entry point (reference ``onpolicy/scripts/train_mpe.py``).
+
+    python -m contracts_marl_aam_corridors_tpu.cli.train \
+        --scenario_name nav_metered_one_goal_graph_rotate_tube_july \
+        --num_agents 3 --episode_length 25 --n_rollout_threads 128 \
+        --num_env_steps 2000000 --dynamics_type air_taxi
+
+Differences from the reference launcher: no subprocess vec-env (envs live on
+device), no torch threads/cuda setup; when more than one accelerator is
+visible the env batch is sharded over a data mesh automatically.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(args):
+    import jax
+
+    from ..config.flags import build_env_params, build_model_config
+    from ..learner.mappo import GRMAPPOTrainer
+    from ..learner.runner import Runner
+    from ..models import GRMAPPOPolicy, PolicyDims
+
+    env_params = build_env_params(args)
+    cfg = build_model_config(args)
+    dims = PolicyDims(
+        obs_dim=env_params.obs_dim,
+        cent_obs_dim=env_params.obs_dim * env_params.num_agents,
+        num_entities=env_params.num_entities,
+        node_feat_dim=env_params.node_feat_dim,
+        num_actions=env_params.num_actions,
+    )
+    policy = GRMAPPOPolicy(
+        cfg,
+        dims,
+        lr=args.lr,
+        critic_lr=args.critic_lr,
+        opti_eps=args.opti_eps,
+        weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        use_max_grad_norm=args.use_max_grad_norm,
+        use_linear_lr_decay=args.use_linear_lr_decay,
+    )
+    trainer = GRMAPPOTrainer(
+        policy,
+        clip_param=args.clip_param,
+        ppo_epoch=args.ppo_epoch,
+        num_mini_batch=args.num_mini_batch,
+        data_chunk_length=args.data_chunk_length,
+        value_loss_coef=args.value_loss_coef,
+        entropy_coef=args.entropy_coef,
+        huber_delta=args.huber_delta,
+        gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        use_clipped_value_loss=args.use_clipped_value_loss,
+        use_huber_loss=args.use_huber_loss,
+        use_valuenorm=args.use_valuenorm and not args.use_popart,
+        use_popart=args.use_popart,
+        use_value_active_masks=args.use_value_active_masks,
+        use_policy_active_masks=args.use_policy_active_masks,
+    )
+    runner = Runner(
+        env_params=env_params,
+        policy=policy,
+        trainer=trainer,
+        n_rollout_threads=args.n_rollout_threads,
+        episode_length=args.episode_length,
+        use_centralized_v=args.use_centralized_V,
+    )
+    return env_params, policy, trainer, runner
+
+
+def main(argv=None):
+    from ..config.flags import parse_all
+
+    args = parse_all(argv)
+    import jax
+
+    from ..parallel import DistributedRunner, make_mesh
+    from ..utils.checkpoint import save_checkpoint
+    from ..utils.logging import MetricsLogger, agent_env_infos, print_box
+
+    env_params, policy, trainer, runner = build(args)
+
+    run_dir = os.path.join(
+        args.run_dir, args.env_name, args.scenario_name, args.algorithm_name,
+        args.experiment_name, f"seed{args.seed}",
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    save_dir = os.path.join(run_dir, "models")
+    os.makedirs(save_dir, exist_ok=True)
+    # reference: wandb on by default, --use_wandb flag DISABLES it
+    logger = MetricsLogger(run_dir, use_wandb=args.use_wandb, config=vars(args))
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init, k_carry = jax.random.split(key, 3)
+    ts = trainer.init_state(k_init)
+    carry = runner.init_carry(k_carry)
+
+    devices = jax.devices()
+    use_mesh = len(devices) > 1 and args.n_rollout_threads % len(devices) == 0
+    if use_mesh:
+        drunner = DistributedRunner(runner, make_mesh(devices))
+        ts, carry = drunner.init(ts, carry)
+        step_fn = drunner.train_episode
+    else:
+        step_fn = jax.jit(runner.train_episode)
+
+    episodes = int(args.num_env_steps) // args.episode_length // args.n_rollout_threads
+    print_box(
+        f"{args.scenario_name} | {args.num_agents} agents | "
+        f"{args.n_rollout_threads} envs x {len(devices)} device(s) | {episodes} episodes"
+    )
+
+    start = time.time()
+    for episode in range(episodes):
+        if args.use_linear_lr_decay:
+            ts = policy.lr_decay(ts, episode, episodes)
+        key, ekey = jax.random.split(key)
+        ts, carry, train_info, env_info = step_fn(ts, carry, ekey)
+
+        total_steps = (episode + 1) * args.episode_length * args.n_rollout_threads
+        if episode % args.save_interval == 0 or episode == episodes - 1:
+            save_checkpoint(save_dir, ts, episode, config=vars(args))
+        if episode % args.log_interval == 0:
+            info = {k: float(np.asarray(v)) for k, v in train_info.items()}
+            info.update(agent_env_infos(env_info, args.num_agents))
+            sps = total_steps / max(time.time() - start, 1e-9)
+            info["env_steps_per_sec"] = sps
+            logger.log(info, total_steps)
+            print(
+                f"ep {episode}/{episodes} steps {total_steps} "
+                f"rew {info.get('average_episode_rewards', float('nan')):.3f} "
+                f"vloss {info.get('value_loss', float('nan')):.4f} "
+                f"sps {sps:,.0f}",
+                flush=True,
+            )
+    save_checkpoint(save_dir, ts, episodes - 1 if episodes else 0, config=vars(args))
+    print(f"[FINAL SAVE] checkpoints at: {save_dir}")
+    logger.close()
+    return run_dir
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

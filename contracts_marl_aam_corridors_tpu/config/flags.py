@@ -1,0 +1,273 @@
+"""Training/eval flag system mirroring the reference's argparse config.
+
+Reference: ``onpolicy/config.py`` ``get_config``:5-407 + ``graph_config``
+:409-484 and the script-level ``parse_args`` (train_mpe.py:71-116,
+eval_mpe.py:44-94).  Flag NAMES and DEFAULTS are preserved so reference launch
+commands work verbatim; flags that only make sense for torch/subprocess
+plumbing (``n_training_threads``, ``cuda``, ...) are accepted and ignored
+(listed in ``IGNORED_FLAGS``) so old scripts don't break.
+
+Also replicates the reference's ``store_false`` idioms: e.g. ``--use_wandb``
+DISABLES wandb, ``--use_ReLU`` keeps default True.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def _bool(x: str) -> bool:
+    return str(x).lower() in ("1", "true", "yes", "y", "t")
+
+
+IGNORED_FLAGS = (
+    "cuda",
+    "cuda_deterministic",
+    "n_training_threads",
+    "user_name",
+    "use_naive_recurrent_policy",
+)
+
+
+def get_config() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="contracts-marl-aam-corridors-tpu", formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    # prepare (config.py:21-80)
+    p.add_argument("--algorithm_name", type=str, default="rmappo", choices=["rmappo", "mappo"])
+    p.add_argument("--experiment_name", type=str, default="check")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--cuda", action="store_false")
+    p.add_argument("--cuda_deterministic", action="store_false")
+    p.add_argument("--n_training_threads", type=int, default=1)
+    p.add_argument("--n_rollout_threads", type=int, default=32)
+    p.add_argument("--n_eval_rollout_threads", type=int, default=1)
+    p.add_argument("--n_render_rollout_threads", type=int, default=1)
+    p.add_argument("--num_env_steps", type=int, default=20e6)
+    p.add_argument("--user_name", type=str, default="marl")
+    p.add_argument("--use_wandb", action="store_false", help="disables wandb (store_false idiom)")
+    # env
+    p.add_argument("--env_name", type=str, default="GraphMPE")
+    p.add_argument("--use_obs_instead_of_state", action="store_true")
+    p.add_argument("--world_size", type=float, default=2.0)
+    p.add_argument("--num_scripted_agents", type=int, default=0)
+    p.add_argument("--dynamics_type", type=str, default="air_taxi",
+                   choices=["air_taxi", "unicycle_vehicle", "double_integrator"])
+    p.add_argument("--episode_length", type=int, default=25)
+    # network (config.py:141-190)
+    p.add_argument("--share_policy", action="store_false")
+    p.add_argument("--use_centralized_V", action="store_false")
+    p.add_argument("--stacked_frames", type=int, default=1)
+    p.add_argument("--use_stacked_frames", action="store_true")
+    p.add_argument("--hidden_size", type=int, default=64)
+    p.add_argument("--layer_N", type=int, default=1)
+    p.add_argument("--use_ReLU", action="store_false")
+    p.add_argument("--use_popart", action="store_true")
+    p.add_argument("--use_valuenorm", action="store_false")
+    p.add_argument("--use_feature_normalization", action="store_false")
+    p.add_argument("--use_orthogonal", action="store_false")
+    p.add_argument("--gain", type=float, default=0.01)
+    # fairness knobs (config.py:189-199)
+    p.add_argument("--increase_fairness", type=_bool, default=False)
+    p.add_argument("--fair_wt", type=float, default=1)
+    p.add_argument("--fair_rew", type=float, default=1)
+    p.add_argument("--zeroshift", type=float, default=0)
+    # recurrent (config.py:201-215)
+    p.add_argument("--use_naive_recurrent_policy", action="store_true")
+    p.add_argument("--use_recurrent_policy", action="store_false")
+    p.add_argument("--recurrent_N", type=int, default=1)
+    p.add_argument("--data_chunk_length", type=int, default=10)
+    # optimizer (config.py:217-231)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--critic_lr", type=float, default=5e-4)
+    p.add_argument("--opti_eps", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=0)
+    # ppo (config.py:233-294)
+    p.add_argument("--ppo_epoch", type=int, default=15)
+    p.add_argument("--use_clipped_value_loss", action="store_false")
+    p.add_argument("--clip_param", type=float, default=0.2)
+    p.add_argument("--num_mini_batch", type=int, default=1)
+    p.add_argument("--entropy_coef", type=float, default=0.01)
+    p.add_argument("--value_loss_coef", type=float, default=1)
+    p.add_argument("--use_max_grad_norm", action="store_false")
+    p.add_argument("--max_grad_norm", type=float, default=10.0)
+    p.add_argument("--use_gae", action="store_false")
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--gae_lambda", type=float, default=0.95)
+    p.add_argument("--use_proper_time_limits", action="store_true")
+    p.add_argument("--use_huber_loss", action="store_false")
+    p.add_argument("--use_value_active_masks", action="store_false")
+    p.add_argument("--use_policy_active_masks", action="store_false")
+    p.add_argument("--huber_delta", type=float, default=10.0)
+    # run (config.py:296-320)
+    p.add_argument("--use_linear_lr_decay", action="store_true")
+    # save/log/eval/render (config.py:322-407)
+    p.add_argument("--save_interval", type=int, default=1)
+    p.add_argument("--log_interval", type=int, default=5)
+    p.add_argument("--use_eval", action="store_true")
+    p.add_argument("--eval_interval", type=int, default=25)
+    p.add_argument("--eval_episodes", type=int, default=32)
+    p.add_argument("--save_gifs", action="store_true")
+    p.add_argument("--use_render", action="store_true")
+    p.add_argument("--render_episodes", type=int, default=5)
+    p.add_argument("--ifi", type=float, default=0.1)
+    p.add_argument("--model_dir", type=str, default=None)
+    p.add_argument("--run_dir", type=str, default="./results")
+    return p
+
+
+def graph_config(args, parser: argparse.ArgumentParser):
+    """GNN flags + auto minibatch sizing (config.py:409-484)."""
+    parser.add_argument("--num_embeddings", type=int, default=4)
+    parser.add_argument("--embedding_size", type=int, default=2)
+    parser.add_argument("--embed_hidden_size", type=int, default=16)
+    parser.add_argument("--embed_layer_N", type=int, default=1)
+    parser.add_argument("--embed_use_ReLU", action="store_false")
+    parser.add_argument("--embed_add_self_loop", action="store_true")
+    parser.add_argument("--max_edge_dist", type=float, default=1)
+    parser.add_argument("--gnn_hidden_size", type=int, default=16)
+    parser.add_argument("--gnn_num_heads", type=int, default=3)
+    parser.add_argument("--gnn_concat_heads", action="store_true")
+    parser.add_argument("--gnn_layer_N", type=int, default=2)
+    parser.add_argument("--gnn_use_ReLU", action="store_false")
+    parser.add_argument("--graph_feat_type", type=str, default="relative",
+                        choices=["global", "relative"])
+    parser.add_argument("--actor_graph_aggr", type=str, default="node",
+                        choices=["global", "node"])
+    parser.add_argument("--critic_graph_aggr", type=str, default="global",
+                        choices=["global", "node"])
+    parser.add_argument("--global_aggr_type", type=str, default="mean",
+                        choices=["mean", "max", "add"])
+    parser.add_argument("--use_cent_obs", type=_bool, default=False)
+    parser.add_argument("--auto_mini_batch_size", action="store_true")
+    parser.add_argument("--target_mini_batch_size", type=int, default=32)
+    all_args = parser.parse_known_args(args)[0]
+
+    if all_args.auto_mini_batch_size:
+        # config.py:472-483
+        num_mini_batch = max(
+            1,
+            int(
+                all_args.n_rollout_threads
+                * all_args.episode_length
+                * all_args.num_agents
+                / all_args.target_mini_batch_size
+            ),
+        )
+        all_args.num_mini_batch = num_mini_batch
+    return all_args
+
+
+def scenario_config(parser: argparse.ArgumentParser):
+    """Script-level scenario/safety flags (train_mpe.py:71-116 + scenario
+    ``make_world`` arg reads)."""
+    parser.add_argument("--scenario_name", type=str,
+                        default="nav_metered_one_goal_graph_rotate_tube_july")
+    parser.add_argument("--num_landmarks", type=int, default=3)
+    parser.add_argument("--num_agents", type=int, default=2)
+    parser.add_argument("--num_obstacles", type=int, default=0)
+    parser.add_argument("--collaborative", type=_bool, default=False)
+    parser.add_argument("--max_speed", type=float, default=2)
+    parser.add_argument("--collision_rew", type=float, default=5)
+    parser.add_argument("--goal_rew", type=float, default=5)
+    parser.add_argument("--min_dist_thresh", type=float, default=0.05)
+    parser.add_argument("--use_dones", type=_bool, default=False)
+    parser.add_argument("--total_actions", type=int, default=5)
+    parser.add_argument("--formation_type", type=str, default="point")
+    # safety filter (train_mpe.py:104-116)
+    parser.add_argument("--use_safety_filter", type=_bool, default=False)
+    parser.add_argument("--safety_filter_type", type=str, default="hj",
+                        choices=["hj", "cbf", "exp_cbf"])
+    parser.add_argument("--safety_value_fn", type=str,
+                        default="data/airtaxi_value_function.pkl")
+    parser.add_argument("--safety_ttr_fn", type=str,
+                        default="data/airtaxi_ttr_function.pkl")
+    parser.add_argument("--terminate_on_violation", type=_bool, default=False)
+    parser.add_argument("--safety_penalty", type=float, default=20.0)
+    return parser
+
+
+def parse_all(argv=None) -> argparse.Namespace:
+    parser = get_config()
+    scenario_config(parser)
+    return graph_config(argv, parser)
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_env_params(args):
+    """argparse.Namespace -> EnvParams (reference make_world arg plumbing)."""
+    import jax.numpy as jnp
+
+    from ..envs.types import EnvParams
+    from .physics import vehicle_config
+
+    cfg = vehicle_config(args.dynamics_type)
+    scenario = scenario_kind(args.scenario_name)
+    # The reference scenario overwrites args.max_edge_dist with the vehicle's
+    # coordination range inside make_world (july:242); mirror that.
+    if getattr(cfg, "coordination_range", None):
+        args.max_edge_dist = cfg.coordination_range
+    return EnvParams(
+        cfg=cfg,
+        scenario=scenario,
+        num_agents=args.num_agents,
+        num_landmarks=args.num_landmarks,
+        num_obstacles=args.num_obstacles,
+        episode_length=args.episode_length,
+        world_size=args.world_size,
+        total_actions=args.total_actions,
+        collision_rew=args.collision_rew,
+        goal_rew=args.goal_rew,
+        fair_rew=args.fair_rew,
+        max_speed=args.max_speed,
+        formation_type=args.formation_type,
+        use_dones=args.use_dones,
+        graph_feat_type=args.graph_feat_type,
+        use_safety_filter=args.use_safety_filter,
+    )
+
+
+def scenario_kind(scenario_name: str) -> str:
+    """Map reference scenario module names to our parameterized kernels."""
+    name = scenario_name.lower()
+    if "rot_inv" in name:
+        return "rot_inv"
+    if "sequential" in name:
+        return "sequential"
+    if "two_phase" in name:
+        return "two_phase"
+    if "three_phase" in name:
+        return "three_phase"
+    if "fairassign" in name or "fair_assign" in name:
+        return "fairassign"
+    return "rotate_tube_july"
+
+
+def build_model_config(args):
+    from ..models.config import ModelConfig
+
+    return ModelConfig(
+        hidden_size=args.hidden_size,
+        layer_N=args.layer_N,
+        use_relu=args.use_ReLU,
+        use_feature_normalization=args.use_feature_normalization,
+        use_orthogonal=args.use_orthogonal,
+        gain=args.gain,
+        use_recurrent_policy=(args.algorithm_name == "rmappo") and args.use_recurrent_policy,
+        recurrent_n=args.recurrent_N,
+        num_embeddings=args.num_embeddings,
+        embedding_size=args.embedding_size,
+        embed_hidden_size=args.embed_hidden_size,
+        embed_layer_n=args.embed_layer_N,
+        gnn_hidden_size=args.gnn_hidden_size,
+        gnn_num_heads=args.gnn_num_heads,
+        gnn_concat_heads=args.gnn_concat_heads,
+        gnn_layer_n=args.gnn_layer_N,
+        actor_graph_aggr=args.actor_graph_aggr,
+        critic_graph_aggr=args.critic_graph_aggr,
+        global_aggr_type=args.global_aggr_type,
+        use_cent_obs=args.use_cent_obs,
+        max_edge_dist=args.max_edge_dist,
+        use_popart=args.use_popart,
+    )

@@ -57,16 +57,16 @@ class GRMAPPOPolicy:
         self.actor = GRActor(cfg, dims.num_actions)
         self.critic = GRCritic(cfg)
 
-        def schedule(base_lr):
-            if use_linear_lr_decay:
-                # update_linear_schedule: lr * (1 - epoch/total)
-                return optax.linear_schedule(base_lr, 0.0, total_updates)
-            return base_lr
+        # Linear lr decay is applied per-EPISODE by the runner via ``set_lr``
+        # (reference lr_decay -> update_linear_schedule, graph_MAPPOPolicy.py:79),
+        # not per optimizer step, hence inject_hyperparams instead of an optax
+        # schedule.
+        self.lr = lr
+        self.critic_lr = critic_lr
+        self.use_linear_lr_decay = use_linear_lr_decay
 
         def make_opt(base_lr):
-            tx = optax.inject_hyperparams(optax.adam)(
-                learning_rate=schedule(base_lr), eps=opti_eps
-            )
+            tx = optax.inject_hyperparams(optax.adam)(learning_rate=base_lr, eps=opti_eps)
             if use_max_grad_norm:
                 tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
             return tx
@@ -91,6 +91,31 @@ class GRMAPPOPolicy:
 
     def init_opt_states(self, params: PolicyParams):
         return self.actor_tx.init(params.actor), self.critic_tx.init(params.critic)
+
+    @staticmethod
+    def set_lr(opt_state, lr: float):
+        """Update the injected learning rate in an optimizer state
+        (reference ``update_linear_schedule``: lr * (1 - episode/episodes))."""
+        import numpy as np
+
+        def fix(st):
+            if hasattr(st, "hyperparams") and "learning_rate" in st.hyperparams:
+                hp = dict(st.hyperparams)
+                old = hp["learning_rate"]
+                hp["learning_rate"] = jnp.asarray(lr, getattr(old, "dtype", jnp.float32))
+                return st._replace(hyperparams=hp)
+            if isinstance(st, tuple) and not hasattr(st, "_fields"):
+                return tuple(fix(s) for s in st)
+            return st
+
+        return fix(opt_state)
+
+    def lr_decay(self, ts, episode: int, episodes: int):
+        """Apply per-episode linear decay to both optimizers (lr_decay:79)."""
+        frac = episode / float(episodes)
+        a = self.set_lr(ts.actor_opt, self.lr - self.lr * frac)
+        c = self.set_lr(ts.critic_opt, self.critic_lr - self.critic_lr * frac)
+        return ts.replace(actor_opt=a, critic_opt=c)
 
     # ---------------- forward APIs ----------------
     def get_actions(

@@ -1,0 +1,90 @@
+"""Episode rendering to PNG frames / animated GIF via PIL.
+
+Replaces the reference's pyglet viewer (multiagent/rendering.py) and the
+render loop's imageio GIF export (graph_mpe_runner.py:525-1060): draws the
+rotated corridor, entrance/exit gates, landmarks, and heading-oriented
+aircraft triangles.  Pure host-side; consumes numpy snapshots of EnvState.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+AGENT_COLORS = [
+    (66, 135, 245), (245, 130, 48), (60, 180, 75), (230, 25, 75),
+    (145, 30, 180), (70, 240, 240), (240, 50, 230), (210, 245, 60),
+    (0, 128, 128), (170, 110, 40),
+]
+
+
+def _to_px(p, world_size: float, size: int):
+    x = (p[0] / world_size + 1.0) * 0.5 * size
+    y = (1.0 - (p[1] / world_size + 1.0) * 0.5) * size
+    return (float(x), float(y))
+
+
+def render_frame(
+    agent_pos: np.ndarray,
+    agent_heading: np.ndarray,
+    landmark_pos: np.ndarray,
+    tube_entrance: np.ndarray,
+    tube_exit: np.ndarray,
+    tube_half_width: float,
+    world_size: float = 2.0,
+    size: int = 512,
+    status: Optional[np.ndarray] = None,
+):
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+
+    e = tube_exit - tube_entrance
+    L = np.linalg.norm(e) + 1e-9
+    e = e / L
+    n = np.array([-e[1], e[0]])
+    corners = [
+        tube_entrance + n * tube_half_width,
+        tube_exit + n * tube_half_width,
+        tube_exit - n * tube_half_width,
+        tube_entrance - n * tube_half_width,
+    ]
+    d.polygon([_to_px(c, world_size, size) for c in corners],
+              fill=(235, 240, 250), outline=(120, 140, 180))
+    for gate, col in ((tube_entrance, (60, 160, 60)), (tube_exit, (180, 60, 60))):
+        a = _to_px(gate + n * tube_half_width, world_size, size)
+        b = _to_px(gate - n * tube_half_width, world_size, size)
+        d.line([a, b], fill=col, width=3)
+
+    for lm in np.atleast_2d(landmark_pos):
+        cx, cy = _to_px(lm, world_size, size)
+        r = 0.035 / world_size * size
+        d.ellipse([cx - r, cy - r, cx + r, cy + r], fill=(250, 220, 90), outline=(0, 0, 0))
+
+    for i, (p, th) in enumerate(zip(np.atleast_2d(agent_pos), np.atleast_1d(agent_heading))):
+        col = AGENT_COLORS[i % len(AGENT_COLORS)]
+        if status is not None and status[i]:
+            col = tuple(int(c * 0.45 + 140) for c in col)
+        s = 0.05 / world_size * size
+        nose = p + 0.06 * np.array([np.cos(th), np.sin(th)])
+        left = p + 0.035 * np.array([np.cos(th + 2.5), np.sin(th + 2.5)])
+        right = p + 0.035 * np.array([np.cos(th - 2.5), np.sin(th - 2.5)])
+        d.polygon(
+            [_to_px(nose, world_size, size), _to_px(left, world_size, size),
+             _to_px(right, world_size, size)],
+            fill=col, outline=(0, 0, 0),
+        )
+    return img
+
+
+def save_gif(frames: List, path: str, fps: float = 10.0):
+    if not frames:
+        return
+    frames[0].save(
+        path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
