@@ -59,6 +59,398 @@ def _obstacle_collision(params: EnvParams, state: EnvState, pos_i: Array) -> Arr
     return jnp.any(d < 2.0 * (AGENT_SIZE + AGENT_SIZE))
 
 
+GATED_SCENARIOS = ("rot_inv", "two_phase", "three_phase")
+
+
+def _f32r(x: Array) -> Array:
+    """Round through float32, keeping the working dtype.
+
+    The rot_inv-family scenarios cast observations/node features to float32
+    at specific points (rot_inv:1469-1556 ``.astype(np.float32)``); parity
+    requires reproducing those rounding sites exactly.
+    """
+    return x.astype(jnp.float32).astype(x.dtype)
+
+
+def _rot_into_heading(v: Array, heading: Array) -> Array:
+    """Rotate world-frame vectors into the ego heading frame
+    (utils.py ``get_rotated_position_from_relative``:66-75:
+    R = [[cos, sin], [-sin, cos]])."""
+    c, s = jnp.cos(heading), jnp.sin(heading)
+    return jnp.stack(
+        [c * v[..., 0] + s * v[..., 1], -s * v[..., 0] + c * v[..., 1]], axis=-1
+    )
+
+
+def _gate_levels(params: EnvParams) -> int:
+    return {"rot_inv": 0, "two_phase": 1, "three_phase": 2}[params.scenario]
+
+
+def _gated_phase(params: EnvParams, tube, pos: Array, prev: Array, reached: Array) -> Array:
+    return tube_mod.agent_phase_gated(
+        tube, pos, prev, reached,
+        params.gate_front_ratio, params.gate_back_ratio,
+        params.exit_back, params.exit_front_ratio,
+        in_tube_exit_levels=_gate_levels(params),
+    )
+
+
+def _two_nearest_rel(params: EnvParams, pos: Array, status: Array) -> Array:
+    """Per-agent two nearest neighbor REL vectors, zero-padded.
+
+    rot_inv includes done agents (rot_inv:1477-1494); two/three_phase skip
+    ``status`` agents (two_phase observation) — excluded slots pad to zero.
+    """
+    n = params.num_agents
+    rel = pos[None, :, :] - pos[:, None, :]  # [i, j] = pos_j - pos_i
+    d = jnp.linalg.norm(rel, axis=-1)
+    exclude = jnp.eye(n, dtype=bool)
+    if params.scenario in ("two_phase", "three_phase"):
+        exclude = exclude | status[None, :]
+    d = jnp.where(exclude, jnp.inf, d)
+    order = jnp.argsort(d, axis=-1)[:, :2]  # (n, 2)
+    vecs = jnp.take_along_axis(rel, order[..., None], axis=1)  # (n, 2, 2)
+    valid = jnp.take_along_axis(~exclude, order, axis=1)  # (n, 2)
+    return vecs * valid[..., None]
+
+
+def _obs_gated_row(params: EnvParams, state: EnvState, values: Array, i) -> tuple[EnvState, Array]:
+    """Observation row for agent i from CURRENT values/status (used in the
+    interleaved two/three_phase sweep where earlier agents' rewards already
+    mutated state this step, environment.py:1036-1052)."""
+    cfg = params.cfg
+    pos = values[:, :2]
+    heading = dynamics.heading_of(values, cfg)
+    speed = dynamics.speed_of(values, cfg)
+    tube = state.tube
+
+    cooldown = state.entry_cooldown.at[i].add(
+        -(state.entry_cooldown[i] > 0).astype(state.entry_cooldown.dtype)
+    )
+    state = state.replace(entry_cooldown=cooldown)
+    phase = _gated_phase(
+        params, tube, pos[i], state.prev_phase[i], state.phase_reached[i]
+    )
+
+    if params.scenario == "two_phase":
+        goal_vec = _f32r(tube.exit).astype(pos.dtype) - pos[i]
+    else:
+        goal_vec = state.landmark_pos[state.goal_match[i]] - pos[i]
+    rot_goal = _rot_into_heading(goal_vec, heading[i])
+
+    nb = _f32r(_two_nearest_rel(params, pos, state.status)[i])  # (2, 2)
+    rot_nb = _rot_into_heading(nb, heading[i]).reshape(4)
+
+    s, y = tube_mod.tube_coords(tube, pos[i])
+    L = tube.frame_length
+    dtype = pos.dtype
+    cols = [
+        jnp.stack([jnp.cos(heading[i]), jnp.sin(heading[i]), speed[i]]),
+        rot_goal,
+        rot_nb,
+        jnp.stack(
+            [
+                jnp.clip(s / L, -2.0, 2.0),
+                jnp.clip(y / (tube.half_width + 1e-9), -2.0, 2.0),
+                tube_mod.exit_gate_distance(tube, s, y) / (L + 1e-9),
+            ]
+        ),
+    ]
+    if params.scenario in ("two_phase", "three_phase"):
+        corridor_heading = jnp.arctan2(tube.e[1], tube.e[0])
+        he = jnp.mod(heading[i] - corridor_heading + jnp.pi, 2 * jnp.pi) - jnp.pi
+        cols.append(jnp.stack([jnp.cos(he), jnp.sin(he)]))
+    cols.append(phase[None].astype(dtype))
+    return state, _f32r(jnp.concatenate(cols))
+
+
+def _observations_gated(params: EnvParams, state: EnvState) -> tuple[EnvState, Array]:
+    """13-dim rot_inv obs (rot_inv:1453-1556) / 15-dim two- & three-phase obs
+    (adds heading alignment; goal = tube exit for two_phase)."""
+    cfg = params.cfg
+    pos = state.agent_states[:, :2]
+    heading = dynamics.heading_of(state.agent_states, cfg)
+    speed = dynamics.speed_of(state.agent_states, cfg)
+    tube = state.tube
+
+    cooldown = _decrement_cooldown(state.entry_cooldown)
+    phase = _gated_phase(params, tube, pos, state.prev_phase, state.phase_reached)
+
+    if params.scenario == "two_phase":
+        goal_vec = _f32r(tube.exit).astype(pos.dtype) - pos  # exit cast f32 first
+    else:
+        goal_vec = state.landmark_pos[state.goal_match] - pos
+    rot_goal = _rot_into_heading(goal_vec, heading)
+
+    # neighbor vectors are cast to f32 BEFORE rotation (rot_inv:1489-1492)
+    nb = _f32r(_two_nearest_rel(params, pos, state.status))  # (n, 2, 2)
+    rot_nb = _rot_into_heading(nb, heading[:, None]).reshape(params.num_agents, 4)
+
+    s, y = tube_mod.tube_coords(tube, pos)
+    L = tube.frame_length
+    s_norm = jnp.clip(s / L, -2.0, 2.0)
+    y_norm = jnp.clip(y / (tube.half_width + 1e-9), -2.0, 2.0)
+    dist_out = tube_mod.exit_gate_distance(tube, s, y) / (L + 1e-9)
+
+    cols = [
+        jnp.cos(heading)[:, None],
+        jnp.sin(heading)[:, None],
+        speed[:, None],
+        rot_goal,
+        rot_nb,
+        s_norm[:, None],
+        y_norm[:, None],
+        dist_out[:, None],
+    ]
+    if params.scenario in ("two_phase", "three_phase"):
+        corridor_heading = jnp.arctan2(tube.e[1], tube.e[0])
+        he = jnp.mod(heading - corridor_heading + jnp.pi, 2 * jnp.pi) - jnp.pi
+        cols.append(jnp.cos(he)[:, None])
+        cols.append(jnp.sin(he)[:, None])
+    cols.append(phase[:, None].astype(pos.dtype))
+    obs = _f32r(jnp.concatenate(cols, axis=-1))  # final .astype(np.float32)
+    state = state.replace(entry_cooldown=cooldown)
+    return state, obs
+
+
+def _node_obs_gated(params: EnvParams, state: EnvState, values: Array, i) -> Array:
+    """Rotation-invariant 7-dim node features
+    (rot_inv ``_get_entity_feat_relative``:1690-1740):
+    [rot rel_vel(2), rot rel_pos(2), rot rel_goal(2), entity_type(1)]."""
+    cfg = params.cfg
+    n, l, o = params.num_agents, params.num_landmarks, params.num_obstacles
+    # the reference casts positions/velocities to f32 BEFORE the relative
+    # subtraction (rot_inv:1702-1715)
+    pos = _f32r(values[:, :2])
+    vel = _f32r(dynamics.velocity_of(values, cfg))
+    heading_i = dynamics.heading_of(values, cfg)[i]
+    entity_pos = jnp.concatenate([pos, _f32r(state.landmark_pos), _f32r(state.obstacle_pos)], axis=0)
+    entity_vel = jnp.concatenate(
+        [vel, jnp.zeros((l + o, 2), values.dtype)], axis=0
+    )
+    # f32 - f32 is computed IN f32 by numpy; round the differences too
+    rel_pos = _f32r(_rot_into_heading(_f32r(entity_pos - pos[i]), heading_i))
+    rel_vel = _f32r(_rot_into_heading(_f32r(entity_vel - vel[i]), heading_i))
+    if params.scenario == "two_phase":
+        agent_goal_world = jnp.broadcast_to(_f32r(state.tube.exit).astype(pos.dtype), (n, 2))
+    else:
+        agent_goal_world = _f32r(state.landmark_pos)[state.goal_match]
+    agent_goal_rel = _f32r(
+        _rot_into_heading(_f32r(agent_goal_world - pos[i]), heading_i)
+    )
+    rel_goal = jnp.concatenate([agent_goal_rel, rel_pos[n:]], axis=0)
+    etype = jnp.concatenate(
+        [
+            jnp.full((n,), ENTITY_AGENT, values.dtype),
+            jnp.full((l,), ENTITY_LANDMARK, values.dtype),
+            jnp.full((o,), ENTITY_OBSTACLE, values.dtype),
+        ]
+    )[:, None]
+    return jnp.concatenate([rel_vel, rel_pos, rel_goal, etype], axis=-1)
+
+
+def _reward_one_agent_gated(params: EnvParams, state: EnvState, values: Array, i: int):
+    """Reward for the exit-gated scenario family, agent-id order.
+
+    rot_inv ``reward``:1122-1343; two_phase/three_phase variants differ in
+    collision terms, freeze-at-exit vs goal-seeking, heading penalties, and
+    progress reward (see per-branch citations below).
+    """
+    cfg = params.cfg
+    scenario = params.scenario
+    dtype = values.dtype
+    n = params.num_agents
+    pos = values[:, :2]
+    pos_i = pos[i]
+    tube = state.tube
+
+    cooldown = state.entry_cooldown.at[i].add(
+        -(state.entry_cooldown[i] > 0).astype(state.entry_cooldown.dtype)
+    )
+    cur = _gated_phase(
+        params, tube, pos_i, state.prev_phase[i], state.phase_reached[i]
+    )
+    prev_i = state.prev_phase[i]
+    reached_i = state.phase_reached[i]
+
+    rew = jnp.zeros((), dtype)
+
+    # collisions: rot_inv x4 agent / x3 obstacle (rot_inv:1134-1142);
+    # three_phase x1 agent (three_phase reward head); two_phase none.
+    d_agents = jnp.linalg.norm(pos - pos_i, axis=-1)
+    colliding = (
+        (d_agents < cfg.separation_distance)
+        & ~state.status
+        & ~state.status[i]
+        & (jnp.arange(n) != i)
+    )
+    if scenario == "rot_inv":
+        rew -= params.collision_rew * 4 * jnp.sum(colliding).astype(dtype)
+        rew -= params.collision_rew * 3 * _obstacle_collision(params, state, pos_i).astype(dtype)
+    elif scenario == "three_phase":
+        rew -= params.collision_rew * jnp.sum(colliding).astype(dtype)
+
+    # front/back spacing neighbors by own heading (rot_inv:1149-1161)
+    heading = dynamics.heading_of(values, cfg)[i]
+    heading_vec = jnp.stack([jnp.cos(heading), jnp.sin(heading)])
+    proj_h = (pos - pos_i) @ heading_vec
+    not_self = jnp.arange(n) != i
+    front_mask = not_self & (proj_h > 0)
+    back_mask = not_self & (proj_h <= 0)
+    inf = jnp.asarray(jnp.inf, dtype)
+    front_idx = jnp.argmin(jnp.where(front_mask, proj_h, inf))
+    back_idx = jnp.argmax(jnp.where(back_mask, proj_h, -inf))
+    has_front = jnp.any(front_mask)
+    has_back = jnp.any(back_mask)
+    desired = cfg.separation_distance
+
+    s, y = tube_mod.tube_coords(tube, pos_i)
+    L = tube.frame_length
+    in_tube = tube_mod.in_tube_rect(tube, s, y)
+    valid_exit = tube_mod.in_exit_gate(tube, s, y, params.exit_back, params.exit_front_ratio)
+    in_gate = tube_mod.in_entrance_gate(
+        tube, s, y, params.gate_front_ratio, params.gate_back_ratio
+    )
+    proj, _ = tube_mod.entrance_projection(tube, pos_i)
+
+    # phase-skip penalty (rot_inv:1177-1181): -goal_rew (1x)
+    rew -= params.goal_rew * ((cur == 2) & (cur > prev_i + 1)).astype(dtype)
+
+    # transition bonuses (rot_inv:1189-1216)
+    trans = (cur == prev_i + 1) & (reached_i == cur - 1)
+    enter_bonus = trans & (cur == 1) & in_gate & (cooldown[i] == 0)
+    exit_bonus = trans & (cur == 2)
+    rew += params.goal_rew * (enter_bonus | exit_bonus).astype(dtype)
+    cooldown = cooldown.at[i].set(
+        jnp.where(enter_bonus, params.cooldown_steps, cooldown[i])
+    )
+    reached_i = jnp.where(enter_bonus, 1, reached_i)
+    reached_i = jnp.where(exit_bonus, 2, reached_i)
+
+    # two_phase freezes at the exit transition (+5g, status, reset velocity)
+    newly_frozen = jnp.asarray(False)
+    if scenario == "two_phase":
+        newly_frozen = exit_bonus & ~state.status[i]
+        rew += newly_frozen.astype(dtype) * params.goal_rew * 5
+
+    # heading error to corridor axis (two/three_phase penalties)
+    corridor_heading = jnp.arctan2(tube.e[1], tube.e[0])
+    he = jnp.abs(jnp.mod(heading - corridor_heading + jnp.pi, 2 * jnp.pi) - jnp.pi)
+
+    is_p0 = cur == 0
+    is_p1 = cur == 1
+    demote = (cur == 2) & (reached_i == 0)
+    goal_branch = (cur == 2) & ~demote
+
+    # phase 0: distance to the entrance EDGE (rot_inv:1227-1232)
+    egd = tube_mod.entrance_gate_distance(tube, s, y)
+    rew -= is_p0.astype(dtype) * egd
+    if scenario in ("two_phase", "three_phase"):
+        near_gate = egd < params.world_size * 0.1
+        rew -= (is_p0 & near_gate).astype(dtype) * he * params.formation_rew * 0.5
+
+    # phase 1 (rot_inv:1244-1276)
+    front_diff = jnp.linalg.norm(pos[front_idx] - pos_i) - desired
+    back_diff = jnp.linalg.norm(pos[back_idx] - pos_i) - desired
+    spacing_error = jnp.where(has_front & (front_diff < 0), -front_diff, 0.0) + jnp.where(
+        has_back & (back_diff < 0), -back_diff, 0.0
+    )
+    spacing_error = spacing_error.astype(dtype)
+    track_delta = scenario in ("rot_inv", "three_phase")
+    state = state.replace(
+        spacing_violation=state.spacing_violation.at[i].add(
+            (is_p1 & (spacing_error > 0)).astype(dtype)
+        ),
+        delta_spacing_sum=state.delta_spacing_sum
+        + (is_p1.astype(dtype) * spacing_error if track_delta else 0.0),
+        steps_in_corridor=state.steps_in_corridor.at[i].add(is_p1.astype(dtype)),
+    )
+    rew -= is_p1.astype(dtype) * spacing_error * params.formation_rew
+    rew -= is_p1.astype(dtype) * tube_mod.exit_gate_distance(tube, s, y)
+    if scenario == "rot_inv":
+        progress_gain = params.goal_rew / (tube.length * 10.0)
+        # prev_proj is a float32 array in the reference (rot_inv:374); the
+        # delta reads it back as float(np.float32) — i.e. f32-rounded
+        delta_proj = proj - state.prev_proj[i]
+        rew += is_p1.astype(dtype) * progress_gain * jnp.maximum(delta_proj, -0.05)
+        state = state.replace(
+            prev_proj=state.prev_proj.at[i].set(
+                jnp.where(
+                    is_p1,
+                    proj.astype(jnp.float32).astype(state.prev_proj.dtype),
+                    state.prev_proj[i],
+                )
+            )
+        )
+    else:
+        rew -= is_p1.astype(dtype) * he * params.formation_rew * 0.1
+
+    # phase 2: goal seek + freeze (rot_inv:1286-1301; three_phase same minus
+    # goal_tracker; two_phase has no phase-2 term — it froze at the exit)
+    key = state.key
+    newly = newly_frozen
+    if scenario in ("rot_inv", "three_phase"):
+        goal_pos = state.landmark_pos[state.goal_match[i]]
+        dist_goal = jnp.linalg.norm(pos_i - goal_pos)
+        at_goal = goal_branch & (dist_goal < cfg.goal_threshold)
+        newly = at_goal & ~state.status[i]
+        rew += newly.astype(dtype) * params.goal_rew * 5
+        rew -= (goal_branch & (dist_goal >= cfg.goal_threshold)).astype(dtype) * dist_goal
+    if scenario != "three_phase":
+        new_tracker = jnp.where(newly, state.goal_match[i], state.goal_tracker[i])
+        if scenario == "two_phase":
+            # two_phase never records goal_tracker (stays -1)
+            new_tracker = state.goal_tracker[i]
+    else:
+        new_tracker = state.goal_tracker[i]
+
+    if cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+        reset_vals = values[i].at[2:].set(0.0)
+    else:
+        if params.parity_fixed_reset_theta is not None:
+            theta = jnp.asarray(params.parity_fixed_reset_theta, dtype)
+        else:
+            key, tkey = jax.random.split(key)
+            theta = jax.random.uniform(tkey, (), dtype, 0.0, 2 * jnp.pi)
+        reset_vals = values[i].at[2].set(theta).at[3].set(cfg.v_min)
+    values = values.at[i].set(jnp.where(newly, reset_vals, values[i]))
+    state = state.replace(
+        status=state.status.at[i].set(state.status[i] | newly),
+        goal_tracker=state.goal_tracker.at[i].set(new_tracker),
+        key=key,
+    )
+
+    # conformance / phase_reached / regression (rot_inv:1306-1325)
+    cur2 = jnp.where(demote, 0, cur)
+    state = state.replace(
+        conformance=state.conformance.at[i].add(
+            ((reached_i == 1) & (cur2 == 0)).astype(dtype)
+        )
+    )
+    new_pr = jnp.maximum(reached_i, cur2)
+    rew -= params.collision_rew * (cur2 < prev_i).astype(dtype)
+    rew -= params.collision_rew * (cur2 < new_pr).astype(dtype)
+
+    # in-tube-but-not-phase-1 penalty (rot_inv:1327-1329; three_phase also
+    # requires not-valid-exit)
+    bad_in_tube = in_tube & (cur2 != 1)
+    if scenario == "three_phase":
+        bad_in_tube &= ~valid_exit
+    rew -= params.collision_rew * bad_in_tube.astype(dtype)
+
+    # skipped-corridor penalty (rot_inv:1332-1334)
+    rew -= params.goal_rew * ((s > L) & (new_pr < 1)).astype(dtype)
+
+    state = state.replace(
+        phase_reached=state.phase_reached.at[i].set(new_pr),
+        prev_phase=state.prev_phase.at[i].set(cur2),
+        entry_cooldown=cooldown,
+    )
+
+    rew = jnp.clip(rew, -4 * params.collision_rew, params.goal_rew * 5)
+    return rew, state, values
+
+
 def observations(params: EnvParams, state: EnvState) -> tuple[EnvState, Array]:
     """The 19-dim observation for every agent (july:1337-1463), vectorized.
 
@@ -70,6 +462,8 @@ def observations(params: EnvParams, state: EnvState) -> tuple[EnvState, Array]:
     possible ``previous_phase`` 1->2 mutation), exactly as the reference's
     ``observation`` does via ``get_agent_phase`` (july:1447).
     """
+    if params.scenario in GATED_SCENARIOS:
+        return _observations_gated(params, state)
     cfg = params.cfg
     pos = state.agent_states[:, :2]
     vel = dynamics.velocity_of(state.agent_states, cfg)
@@ -105,6 +499,8 @@ def _node_obs_for_agent(
     params: EnvParams, state: EnvState, values: Array, i
 ) -> Array:
     """Relative node features wrt ego agent i (july:1694-1771), 8-dim."""
+    if params.scenario in GATED_SCENARIOS:
+        return _node_obs_gated(params, state, values, i)
     cfg = params.cfg
     n, l, o = params.num_agents, params.num_landmarks, params.num_obstacles
     pos = values[:, :2]
@@ -162,6 +558,8 @@ def _reward_one_agent(params: EnvParams, state: EnvState, values: Array, i: int)
     agent-id order: uses ``state.status``/``values`` as mutated by earlier
     agents this step.
     """
+    if params.scenario in GATED_SCENARIOS:
+        return _reward_one_agent_gated(params, state, values, i)
     cfg = params.cfg
     dtype = values.dtype
     n = params.num_agents
@@ -392,6 +790,8 @@ def _info_dict(params: EnvParams, state: EnvState) -> dict:
         "Spacing_violations": state.spacing_violation
         / jnp.where(state.steps_in_corridor != 0, state.steps_in_corridor, 1.0),
         "Min_time_to_goal": state.goal_min_time,
+        # rot_inv adds per-agent Phase_reached (rot_inv info_callback:840)
+        "Phase_reached": state.phase_reached.astype(dtype),
     }
 
 
@@ -426,22 +826,41 @@ def step(params: EnvParams, state: EnvState, action_idx: Array) -> tuple[EnvStat
         agent_states=values,
     )
 
-    # observations for all agents (phase call #1, vectorized)
-    state, obs = observations(params, state)
+    if params.scenario in ("two_phase", "three_phase"):
+        # fully interleaved per-agent sweep (environment.py:1036-1052): agent
+        # i's observation must see status flips from rewards of agents j<i
+        # (its neighbor slots exclude done agents)
+        values = state.agent_states
+        obs_rows, rewards, node_obs = [], [], []
+        for i in range(n):
+            state, obs_i = _obs_gated_row(params, state, values, i)
+            obs_rows.append(obs_i)
+            rew_i, state, values = _reward_one_agent(params, state, values, i)
+            rewards.append(rew_i)
+            node_obs.append(_node_obs_for_agent(params, state, values, i))
+        state = state.replace(agent_states=values)
+        obs = jnp.stack(obs_rows)
+        reward = jnp.stack(rewards)
+        node_obs = jnp.stack(node_obs)
+    else:
+        # observations for all agents (phase call #1, vectorized — valid
+        # because july/rot_inv observations only read per-agent state that
+        # earlier rewards cannot have mutated)
+        state, obs = observations(params, state)
 
-    # sequential reward sweep (phase call #2 each; status/velocity mutations
-    # visible to later agents), node features captured per agent right after
-    # its reward, like graph_observation's call position (environment.py:1040-1046)
-    values = state.agent_states
-    rewards = []
-    node_obs = []
-    for i in range(n):
-        rew_i, state, values = _reward_one_agent(params, state, values, i)
-        rewards.append(rew_i)
-        node_obs.append(_node_obs_for_agent(params, state, values, i))
-    state = state.replace(agent_states=values)
-    reward = jnp.stack(rewards)
-    node_obs = jnp.stack(node_obs)
+        # sequential reward sweep (phase call #2 each; status/velocity
+        # mutations visible to later agents), node features captured per agent
+        # right after its reward (environment.py:1040-1046)
+        values = state.agent_states
+        rewards = []
+        node_obs = []
+        for i in range(n):
+            rew_i, state, values = _reward_one_agent(params, state, values, i)
+            rewards.append(rew_i)
+            node_obs.append(_node_obs_for_agent(params, state, values, i))
+        state = state.replace(agent_states=values)
+        reward = jnp.stack(rewards)
+        node_obs = jnp.stack(node_obs)
 
     # final shared adjacency (the reference masks one aliased array in place,
     # so every agent ends up with the post-sweep version)

@@ -114,11 +114,14 @@ def _spawn_agents(params: EnvParams, tube: TubeParams, key: Array, dtype):
     # The numpy parity reset keeps the exact unbounded-rejection semantics.
     K = 32
 
+    jscale = params.spawn_jitter_scale
+    sdiv = params.spawn_spacing_div
+
     def place_one(carry, k):
         key, placed = carry
         key, jkey = jax.random.split(key)
-        jitter = 0.2 * jax.random.uniform(jkey, (K, 2), dtype, -ws, ws)
-        base = tube.entrance + (ws + k.astype(dtype)) / 5.0 * perp
+        jitter = jscale * jax.random.uniform(jkey, (K, 2), dtype, -ws, ws)
+        base = tube.entrance + (ws + k.astype(dtype)) / sdiv * perp
         cand = base + jitter  # (K, 2)
         d = jnp.linalg.norm(placed[None, :, :] - cand[:, None, :], axis=-1)  # (K, n)
         valid_prev = jnp.arange(n) < k
@@ -165,7 +168,13 @@ def reset(params: EnvParams, key: Array, dtype=jnp.float32) -> EnvState:
     """
     key, akey, tkey = jax.random.split(key, 3)
     angle = jax.random.uniform(tkey, (), dtype, -jnp.pi / 2, jnp.pi / 2)
-    tube = tube_mod.make_tube(angle, params.world_size, AGENT_SIZE, dtype)
+    length = None
+    if params.randomize_tube_length:
+        # two_phase setup: length = 0.8ws + U(-0.3ws, 0.1ws)
+        key, lkey = jax.random.split(key)
+        ws = params.world_size
+        length = ws * 0.8 + jax.random.uniform(lkey, (), dtype, -0.3 * ws, 0.1 * ws)
+    tube = tube_mod.make_tube(angle, params.world_size, AGENT_SIZE, dtype, length)
     key, agent_pos = _spawn_agents(params, tube, akey, dtype)
     key, theta, speed = _initial_velocity(params, key, params.num_agents, dtype)
     if params.cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
@@ -211,7 +220,12 @@ def reset_parity_numpy(params: EnvParams, prev_phase: np.ndarray | None = None) 
     dtype = np.float64
     np.random.uniform(0.2, 0.8)  # wall_length draw (value unused; stream parity)
     angle = np.random.uniform(-np.pi / 2, np.pi / 2)
-    tube = tube_mod.make_tube(jnp.asarray(angle, jnp.float64), ws, AGENT_SIZE, jnp.float64)
+    length = None
+    if params.randomize_tube_length:
+        length = ws * 0.8 + np.random.uniform(-ws * 0.3, ws * 0.1)
+    tube = tube_mod.make_tube(
+        jnp.asarray(angle, jnp.float64), ws, AGENT_SIZE, jnp.float64, length
+    )
     perp = np.array([np.sin(angle), np.cos(angle)])
     entrance = np.asarray(tube.entrance)
     placed: list[np.ndarray] = []
@@ -219,8 +233,8 @@ def reset_parity_numpy(params: EnvParams, prev_phase: np.ndarray | None = None) 
     obstacle_pos = np.zeros((params.num_obstacles, 2))
     while len(placed) < n:
         k = len(placed)
-        jitter = 0.2 * np.random.uniform(-ws, ws, 2)
-        pos = entrance + (ws + k) / 5.0 * perp + jitter
+        jitter = params.spawn_jitter_scale * np.random.uniform(-ws, ws, 2)
+        pos = entrance + (ws + k) / params.spawn_spacing_div * perp + jitter
         obs_collide = any(
             np.linalg.norm(o - pos) < 2.0 * (AGENT_SIZE + AGENT_SIZE)
             for o in obstacle_pos

@@ -17,7 +17,13 @@ Array = jax.Array
 EPS = 0.05
 
 
-def make_tube(angle: Array, world_size: float, agent_size: float, dtype=jnp.float64) -> TubeParams:
+def make_tube(
+    angle: Array,
+    world_size: float,
+    agent_size: float,
+    dtype=jnp.float64,
+    length: Array | None = None,
+) -> TubeParams:
     """Build tube geometry for a sampled rotation angle.
 
     Mirrors july:518-613: width = max(3*agent_size*2.5*2? — note the
@@ -28,7 +34,10 @@ def make_tube(angle: Array, world_size: float, agent_size: float, dtype=jnp.floa
     angle = jnp.asarray(angle, dtype)
     width = jnp.maximum(3 * agent_size * 2.5, world_size * 0.15)
     width = jnp.asarray(width, dtype)
-    length = jnp.asarray(world_size * 0.8, dtype)
+    if length is None:
+        length = jnp.asarray(world_size * 0.8, dtype)
+    else:
+        length = jnp.asarray(length, dtype)
     # rotation matrix [[cos, sin], [-sin, cos]] applied to (0, ±length/4)
     c, s = jnp.cos(angle), jnp.sin(angle)
     entrance = jnp.stack([s * (length / 4), c * (length / 4)])
@@ -86,6 +95,74 @@ def in_entrance_gate(
 def entrance_gate_distance(tube: TubeParams, s: Array, y: Array) -> Array:
     clamped_y = jnp.clip(y, -tube.half_width, tube.half_width)
     return jnp.hypot(jnp.abs(s), y - clamped_y)
+
+
+def in_exit_gate(
+    tube: TubeParams, s: Array, y: Array, exit_back_ratio: float, exit_front_ratio: float
+) -> Array:
+    """Full-width exit gate: s in [L-exit_back, L+exit_front] (rot_inv:655-659)."""
+    L = tube.frame_length
+    return (
+        (L - exit_back_ratio * L - EPS <= s)
+        & (s <= L + exit_front_ratio * L + EPS)
+        & (jnp.abs(y) <= tube.half_width + EPS)
+    )
+
+
+def exit_gate_distance(tube: TubeParams, s: Array, y: Array) -> Array:
+    """Distance to the exit edge, forward-only (rot_inv:662-672)."""
+    clamped_y = jnp.clip(y, -tube.half_width, tube.half_width)
+    ds = jnp.maximum(0.0, tube.frame_length - s)
+    return jnp.hypot(ds, y - clamped_y)
+
+
+def agent_phase_gated(
+    tube: TubeParams,
+    pos: Array,
+    prev_phase: Array,
+    phase_reached: Array,
+    gate_front_ratio: float,
+    gate_back_ratio: float,
+    exit_back_ratio: float,
+    exit_front_ratio: float,
+    in_tube_exit_levels: int = 0,
+) -> Array:
+    """Exit-gated phase machine shared by rot_inv / two_phase / three_phase
+    (rot_inv ``get_agent_phase``:681-733, two_phase variant).
+
+    Differences from the july machine: ``passed`` is ``s > L`` (not a dot
+    against the exit point), phase 2 additionally requires the agent to be in
+    the EXIT GATE (or already in phase 2) and ``phase_reached >= 1``, and no
+    ``previous_phase`` mutation happens inside the call.
+
+    ``in_tube_exit_levels``: 0 = exit only past the tube (rot_inv);
+    1 = prev==1 & valid_exit returns 2 even while in-tube (two_phase);
+    2 = also prev==2 & valid_exit (three_phase).
+    """
+    s, y = tube_coords(tube, pos)
+    in_tube = in_tube_rect(tube, s, y)
+    passed = s > tube.frame_length
+    valid_entrance = in_entrance_gate(tube, s, y, gate_front_ratio, gate_back_ratio)
+    valid_exit = in_exit_gate(tube, s, y, exit_back_ratio, exit_front_ratio)
+
+    phase_in = jnp.where(prev_phase == 0, jnp.where(valid_entrance, 1, 0), 1)
+    if in_tube_exit_levels >= 1:
+        exit_in_tube = (prev_phase == 1) & valid_exit
+        if in_tube_exit_levels >= 2:
+            exit_in_tube |= (prev_phase == 2) & valid_exit
+        phase_in = jnp.where((prev_phase != 0) & exit_in_tube, 2, phase_in)
+
+    phase_out = jnp.where(
+        (phase_reached >= 1)
+        & (((prev_phase == 1) & valid_exit) | (prev_phase == 2)),
+        2,
+        0,
+    )
+    return jnp.where(
+        ~in_tube & ~passed,
+        0,
+        jnp.where(in_tube, phase_in, jnp.where(passed, phase_out, 0)),
+    ).astype(prev_phase.dtype)
 
 
 def passed_tube(tube: TubeParams, pos: Array) -> Array:

@@ -66,6 +66,9 @@ class EnvParams:
     # Entrance-gate ratios (july:611-613).
     gate_front_ratio: float = struct.field(pytree_node=False, default=0.08)
     gate_back_ratio: float = struct.field(pytree_node=False, default=0.02)
+    # Exit-gate ratios (rot_inv:619-620; two/three_phase use exit_back 0.02).
+    exit_back_ratio: float = struct.field(pytree_node=False, default=0.05)
+    exit_front_ratio: float = struct.field(pytree_node=False, default=0.08)
     # 'closed_form' (exact, TPU hot path) or 'rk45' (scipy-replica, parity).
     integrator: str = struct.field(pytree_node=False, default="closed_form")
 
@@ -75,13 +78,50 @@ class EnvParams:
 
     @property
     def node_feat_dim(self) -> int:
-        return 8  # [rel_vel(2), rel_pos(2), rel_goal(2), occupied(1), type(1)]
+        # july (8): [rel_vel(2), rel_pos(2), rel_goal(2), occupied(1), type(1)]
+        # rot_inv / two_phase / three_phase (7): rotated, no occupied flag
+        # (rot_inv:1690-1740)
+        if self.scenario in ("rot_inv", "two_phase", "three_phase"):
+            return 7
+        return 8
 
     @property
     def obs_dim(self) -> int:
         if self.scenario == "rot_inv":
-            return 13
+            return 13  # rot_inv:1453-1556
+        if self.scenario in ("two_phase", "three_phase"):
+            return 15  # two_phase observation (adds heading_alignment(2))
         return 19
+
+    @property
+    def randomize_tube_length(self) -> bool:
+        """two/three_phase draw length += U(-0.3ws, 0.1ws) (two_phase setup)."""
+        return self.scenario in ("two_phase", "three_phase")
+
+    @property
+    def exit_back(self) -> float:
+        # two/three_phase override exit_back_ratio to 0.02
+        if self.scenario in ("two_phase", "three_phase"):
+            return 0.02
+        return self.exit_back_ratio
+
+    @property
+    def spawn_jitter_scale(self) -> float:
+        """Spawn jitter: 0.2*U (july:462) vs 0.3*U (rot_inv/two/three_phase)."""
+        return 0.3 if self.scenario in ("rot_inv", "two_phase", "three_phase") else 0.2
+
+    @property
+    def spawn_spacing_div(self) -> float:
+        """distance_from_entrance = (ws+k)/5 (july) vs /3 (rot_inv family)."""
+        return 3.0 if self.scenario in ("rot_inv", "two_phase", "three_phase") else 5.0
+
+    @property
+    def cooldown_steps(self) -> int:
+        """phase_reward_cooldown_steps: ep_len/10 (rot_inv:228) or full ep_len
+        (two/three_phase).  july never uses the cooldown in its reward."""
+        if self.scenario in ("two_phase", "three_phase"):
+            return int(self.episode_length)
+        return int(self.episode_length / 10)
 
     @property
     def num_actions(self) -> int:

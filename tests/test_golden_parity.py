@@ -22,9 +22,18 @@ from contracts_marl_aam_corridors_tpu.envs.types import EnvParams
 FIXED_THETA = 1.2345
 
 
-def make_params(args, dynamics):
+REF_SCENARIO = {
+    "rotate_tube_july": "nav_metered_one_goal_graph_rotate_tube_july",
+    "rot_inv": "nav_graph_metered_single_corridor_rot_inv",
+    "two_phase": "two_phase_graph",
+    "three_phase": "three_phase_graph",
+}
+
+
+def make_params(args, dynamics, scenario="rotate_tube_july"):
     return EnvParams(
         cfg=physics.vehicle_config(dynamics),
+        scenario=scenario,
         num_agents=args.num_agents,
         num_landmarks=args.num_landmarks,
         num_obstacles=args.num_obstacles,
@@ -42,7 +51,10 @@ def make_params(args, dynamics):
     )
 
 
-def drive_parity(dynamics, num_agents, num_obstacles, episode_length, seed, steps):
+def drive_parity(
+    dynamics, num_agents, num_obstacles, episode_length, seed, steps,
+    scenario="rotate_tube_july",
+):
     args = ref_oracle.make_args(
         num_agents=num_agents,
         num_landmarks=num_agents,
@@ -51,12 +63,12 @@ def drive_parity(dynamics, num_agents, num_obstacles, episode_length, seed, step
         dynamics_type=dynamics,
         total_actions=5 if dynamics == "double_integrator" else 25,
     )
-    params = make_params(args, dynamics)
+    params = make_params(args, dynamics, scenario)
 
     # --- reference: construction consumes (make_world draw + reset_world
     # stream); training then resets once more ---
     np.random.seed(seed)
-    env, sc, world = ref_oracle.make_ref_env(args)
+    env, sc, world = ref_oracle.make_ref_env(args, REF_SCENARIO[scenario])
     env.reset()
 
     # --- ours: mirror the same global-stream consumption ---
@@ -133,3 +145,16 @@ def test_parity_double_integrator():
 def test_parity_200_step_episode():
     """BASELINE.json correctness config: 200-step single-env episode."""
     drive_parity("air_taxi", 3, 0, 200, seed=42, steps=200)
+
+
+@pytest.mark.parametrize("seed", [0, 11])
+def test_parity_rot_inv(seed):
+    drive_parity("air_taxi", 3, 0, 75, seed=seed, steps=74, scenario="rot_inv")
+
+
+def test_parity_two_phase():
+    drive_parity("air_taxi", 3, 0, 75, seed=5, steps=74, scenario="two_phase")
+
+
+def test_parity_three_phase():
+    drive_parity("air_taxi", 3, 0, 75, seed=9, steps=74, scenario="three_phase")
