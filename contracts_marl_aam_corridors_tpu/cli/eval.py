@@ -52,6 +52,8 @@ def run_eval(args, ts_params, policy, runner, env_params, episodes: int,
         frames = []
         ep_rew = 0.0
         info = {}
+        reached = np.zeros((N,), bool)  # goal-freeze before the time limit
+        final = jax.tree.map(np.asarray, state)
         for t in range(env_params.episode_length):
             A = env_params.num_actions
             avail = np.ones((N, A), np.float32)
@@ -69,6 +71,10 @@ def run_eval(args, ts_params, policy, runner, env_params, episodes: int,
             masks = jnp.asarray(1.0 - done[:, None].astype(np.float32))
             h = h * (1.0 - done[:, None, None].astype(np.float32))
             prev_done = done
+            # ts.done reflects the terminal step BEFORE any auto-reset; an
+            # agent done before the time limit froze at its goal
+            if t + 1 < env_params.episode_length:
+                reached |= done
             info = {k: np.asarray(v) for k, v in ts.info.items()}
             if save_gif_dir is not None:
                 st = jax.tree.map(np.asarray, state)
@@ -86,8 +92,8 @@ def run_eval(args, ts_params, policy, runner, env_params, episodes: int,
                 )
             if bool(done.all()):
                 break
-        final = jax.tree.map(np.asarray, state)
-        success = float((final.goal_tracker >= 0).mean())
+            final = jax.tree.map(np.asarray, state)
+        success = float((reached | (final.goal_tracker >= 0)).mean())
         row = {
             "episode": ep,
             "ep_rew": ep_rew,

@@ -235,7 +235,7 @@ def scenario_kind(scenario_name: str) -> str:
         return "rot_inv"
     if "sequential" in name:
         return "sequential"
-    if "two_phase" in name:
+    if "two_phase" in name or "two_graph" in name:
         return "two_phase"
     if "three_phase" in name:
         return "three_phase"
