@@ -234,6 +234,10 @@ def scenario_kind(scenario_name: str) -> str:
     if "rot_inv" in name:
         return "rot_inv"
     if "sequential" in name:
+        if "split" in name:
+            return "sequential_split"
+        if "random" in name:
+            return "sequential_random"
         return "sequential"
     if "two_phase" in name or "two_graph" in name:
         return "two_phase"

@@ -27,6 +27,8 @@ from ..config.physics import DynamicsType
 from ..ops import distance as dist_ops
 from . import actions as action_mod
 from . import dynamics
+from . import fairassign as fair_mod
+from . import sequential as seq_mod
 from . import tube as tube_mod
 from .types import EnvParams, EnvState, TimeStep
 
@@ -826,18 +828,38 @@ def step(params: EnvParams, state: EnvState, action_idx: Array) -> tuple[EnvStat
         agent_states=values,
     )
 
-    if params.scenario in ("two_phase", "three_phase"):
+    interleaved = (
+        params.scenario in ("two_phase", "three_phase", "fairassign")
+        or params.scenario in seq_mod.SEQ_SCENARIOS
+    )
+    if interleaved:
         # fully interleaved per-agent sweep (environment.py:1036-1052): agent
-        # i's observation must see status flips from rewards of agents j<i
-        # (its neighbor slots exclude done agents)
+        # i's observation must see mutations from rewards of agents j<i
+        # (status flips for two/three_phase; tube switches + landmark
+        # re-placement for sequential; occupancy bookkeeping for fairassign)
+        is_seq = params.scenario in seq_mod.SEQ_SCENARIOS
+        is_fair = params.scenario == "fairassign"
         values = state.agent_states
         obs_rows, rewards, node_obs = [], [], []
         for i in range(n):
-            state, obs_i = _obs_gated_row(params, state, values, i)
-            obs_rows.append(obs_i)
-            rew_i, state, values = _reward_one_agent(params, state, values, i)
-            rewards.append(rew_i)
-            node_obs.append(_node_obs_for_agent(params, state, values, i))
+            if is_seq:
+                obs_i = seq_mod.observation_row(params, state, values, i)
+                obs_rows.append(obs_i)
+                rew_i, state, values = seq_mod.reward_one_agent(params, state, values, i)
+                rewards.append(rew_i)
+                node_obs.append(seq_mod.node_obs_row(params, state, values, i))
+            elif is_fair:
+                state, obs_i = fair_mod.observation_row(params, state, values, i)
+                obs_rows.append(obs_i)
+                rew_i, state, values = fair_mod.reward_one_agent(params, state, values, i)
+                rewards.append(rew_i)
+                node_obs.append(fair_mod.node_obs_row(params, state, values, i))
+            else:
+                state, obs_i = _obs_gated_row(params, state, values, i)
+                obs_rows.append(obs_i)
+                rew_i, state, values = _reward_one_agent(params, state, values, i)
+                rewards.append(rew_i)
+                node_obs.append(_node_obs_for_agent(params, state, values, i))
         state = state.replace(agent_states=values)
         obs = jnp.stack(obs_rows)
         reward = jnp.stack(rewards)
@@ -891,8 +913,24 @@ def reset_outputs(params: EnvParams, state: EnvState):
     Runs phase call #1 per agent (mutating state) and builds node features /
     adjacency from the fresh state.
     """
-    state, obs = observations(params, state)
     values = state.agent_states
+    if params.scenario in seq_mod.SEQ_SCENARIOS or params.scenario == "fairassign":
+        is_fair = params.scenario == "fairassign"
+        obs_rows, node_obs = [], []
+        for i in range(params.num_agents):
+            if is_fair:
+                state, obs_i = fair_mod.observation_row(params, state, values, i)
+                obs_rows.append(obs_i)
+                node_obs.append(fair_mod.node_obs_row(params, state, values, i))
+            else:
+                obs_rows.append(seq_mod.observation_row(params, state, values, i))
+                node_obs.append(seq_mod.node_obs_row(params, state, values, i))
+        obs = jnp.stack(obs_rows)
+        node_obs = jnp.stack(node_obs)
+        adj = masked_adjacency(params, state, values)
+        agent_id = jnp.arange(params.num_agents, dtype=jnp.int32)[:, None]
+        return state, obs, node_obs, adj, agent_id
+    state, obs = observations(params, state)
     node_obs = jnp.stack(
         [_node_obs_for_agent(params, state, values, i) for i in range(params.num_agents)]
     )

@@ -159,6 +159,127 @@ def _initial_velocity(params: EnvParams, key: Array, n: int, dtype):
     return key, theta, speed
 
 
+def _reset_sequential(params: EnvParams, key: Array, dtype) -> EnvState:
+    """Sequential-family reset (sequential ``reset_world``:266-430): agents
+    spawn uniformly in the upper band, fixed axis-aligned tubes, goals at the
+    first tube's exit point."""
+    from . import sequential as seq
+
+    n, ws = params.num_agents, params.world_size
+    key, tube_key = jax.random.split(key)
+    key, tubes, _choice = seq.make_tubes(params, tube_key, dtype)
+
+    # rejection-sampled uniform spawns in 0.9*[(-ws, ws/4), (ws, ws)]
+    sep = params.cfg.separation_distance
+    K = 32
+
+    def place_one(carry, k):
+        key, placed = carry
+        key, pk = jax.random.split(key)
+        lo = jnp.asarray([-ws, ws / 4], dtype) * 0.9
+        hi = jnp.asarray([ws, ws], dtype) * 0.9
+        cand = jax.random.uniform(pk, (K, 2), dtype, 0.0, 1.0) * (hi - lo) + lo
+        d = jnp.linalg.norm(placed[None, :, :] - cand[:, None, :], axis=-1)
+        valid_prev = jnp.arange(n) < k
+        collide = jnp.any(valid_prev[None, :] & (d < sep), axis=-1)
+        pos = cand[jnp.argmax(~collide)]
+        return (key, placed.at[k].set(pos)), pos
+
+    (key, agent_pos), _ = jax.lax.scan(
+        place_one, (key, jnp.zeros((n, 2), dtype)), jnp.arange(n)
+    )
+    key, theta, speed = _initial_velocity(params, key, n, dtype)
+    if params.cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+        agent_states = jnp.concatenate([agent_pos, jnp.zeros((n, 2), dtype)], axis=-1)
+    else:
+        agent_states = jnp.concatenate(
+            [agent_pos, theta[:, None], speed[:, None]], axis=-1
+        )
+    landmark_pos = seq.initial_landmarks(params, tubes, dtype)
+    tube0 = seq.tube_of(tubes, 0)
+    fields = _blank_state(params, tube0, dtype)
+    goal = landmark_pos[fields["goal_match"]]
+    fields["goal_min_time"] = (
+        jnp.linalg.norm(agent_pos - goal, axis=-1) / params.max_speed
+    ).astype(dtype)
+    return EnvState(
+        agent_states=agent_states,
+        prev_phase=jnp.zeros((n,), jnp.int32),
+        landmark_pos=landmark_pos,
+        key=key,
+        tubes=tubes,
+        current_tube=jnp.zeros((n,), jnp.int32),
+        **fields,
+    )
+
+
+def _reset_fairassign(params: EnvParams, key: Array, dtype) -> EnvState:
+    """Fairassign reset (ref random_scenario:301-390): agents cluster above
+    the tube entrance within radius 0.15*ws; landmarks on a line through the
+    projected exit (formation 'line') or at the july merge point."""
+    n, ws = params.num_agents, params.world_size
+    key, tkey = jax.random.split(key)
+    angle = jax.random.uniform(tkey, (), dtype, -jnp.pi / 2, jnp.pi / 2)
+    tube = tube_mod.make_tube(angle, ws, AGENT_SIZE, dtype)
+    center = tube.entrance + jnp.asarray([0.0, ws * 0.2], dtype)
+    radius = ws * 0.15
+    sep = params.cfg.separation_distance
+    K = 32
+
+    def place_one(carry, k):
+        key, placed = carry
+        key, pk = jax.random.split(key)
+        cand = center + jax.random.uniform(pk, (K, 2), dtype, -radius, radius)
+        in_bounds = jnp.all(jnp.abs(cand) <= ws / 2 * 0.9, axis=-1)
+        d = jnp.linalg.norm(placed[None, :, :] - cand[:, None, :], axis=-1)
+        valid_prev = jnp.arange(n) < k
+        collide = jnp.any(valid_prev[None, :] & (d < sep), axis=-1)
+        ok = in_bounds & ~collide
+        pos = cand[jnp.argmax(ok)]
+        return (key, placed.at[k].set(pos)), pos
+
+    (key, agent_pos), _ = jax.lax.scan(
+        place_one, (key, jnp.zeros((n, 2), dtype)), jnp.arange(n)
+    )
+    key, theta, speed = _initial_velocity(params, key, n, dtype)
+    if params.cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+        agent_states = jnp.concatenate([agent_pos, jnp.zeros((n, 2), dtype)], axis=-1)
+    else:
+        agent_states = jnp.concatenate(
+            [agent_pos, theta[:, None], speed[:, None]], axis=-1
+        )
+
+    l = params.num_landmarks
+    if params.formation_type == "line":
+        # goal line along the tube angle through the exit projected to
+        # y = -0.45*ws (ref:338-373)
+        half = ws * 0.8 / 2
+        tube_dir = jnp.stack([jnp.sin(angle), -jnp.cos(angle)])
+        goal_cy = -ws / 2 * 0.9
+        proj = (tube.exit[1] - goal_cy) / tube_dir[1]
+        goal_cx = tube.exit[0] + tube_dir[0] * proj
+        gc = jnp.stack([goal_cx, goal_cy])
+        start = gc - half * jnp.stack([jnp.cos(angle), jnp.sin(angle)])
+        end = gc + half * jnp.stack([jnp.cos(angle), jnp.sin(angle)])
+        frac = jnp.linspace(0.0, 1.0, l)[:, None].astype(dtype)
+        landmark_pos = (start + frac * (end - start)).astype(dtype)
+    else:
+        landmark_pos = _place_landmarks(params, tube, dtype)
+
+    fields = _blank_state(params, tube, dtype)
+    goal = landmark_pos[fields["goal_match"]]
+    fields["goal_min_time"] = (
+        jnp.linalg.norm(agent_pos - goal, axis=-1) / params.max_speed
+    ).astype(dtype)
+    return EnvState(
+        agent_states=agent_states,
+        prev_phase=jnp.zeros((n,), jnp.int32),
+        landmark_pos=landmark_pos,
+        key=key,
+        **fields,
+    )
+
+
 def reset(params: EnvParams, key: Array, dtype=jnp.float32) -> EnvState:
     """Pure-JAX episode reset.
 
@@ -166,6 +287,14 @@ def reset(params: EnvParams, key: Array, dtype=jnp.float32) -> EnvState:
     previous episode's value through instead, replicating the reference's
     never-cleared ``agent.previous_phase`` (see types.py).
     """
+    if params.scenario in (
+        "sequential",
+        "sequential_random",
+        "sequential_split",
+    ):
+        return _reset_sequential(params, key, dtype)
+    if params.scenario == "fairassign":
+        return _reset_fairassign(params, key, dtype)
     key, akey, tkey = jax.random.split(key, 3)
     angle = jax.random.uniform(tkey, (), dtype, -jnp.pi / 2, jnp.pi / 2)
     length = None

@@ -81,8 +81,11 @@ class EnvParams:
         # july (8): [rel_vel(2), rel_pos(2), rel_goal(2), occupied(1), type(1)]
         # rot_inv / two_phase / three_phase (7): rotated, no occupied flag
         # (rot_inv:1690-1740)
+        # fairassign (13): adds goal_history + two rel_pos padding slots
         if self.scenario in ("rot_inv", "two_phase", "three_phase"):
             return 7
+        if self.scenario == "fairassign":
+            return 13
         return 8
 
     @property
@@ -187,6 +190,9 @@ class EnvState:
     t: Array  # () int32 step counter (world.current_time_step)
     sim_time: Array  # ()
     key: Array  # jax PRNG key
+    # --- sequential-scenario extras (None elsewhere) ---
+    tubes: Optional[TubeParams] = None  # stacked tubes, leading axis n_tubes
+    current_tube: Optional[Array] = None  # (N,) int32 per-agent tube index
 
 
 @struct.dataclass
