@@ -797,13 +797,19 @@ def _info_dict(params: EnvParams, state: EnvState) -> dict:
     }
 
 
-def step(params: EnvParams, state: EnvState, action_idx: Array) -> tuple[EnvState, TimeStep]:
+def step(
+    params: EnvParams,
+    state: EnvState,
+    action_idx: Array,
+    hj_data=None,
+) -> tuple[EnvState, TimeStep]:
     """One full environment step for one env instance.
 
     Order of operations replicates ``MultiAgentGraphEnv.step``
     (environment.py:1021-1063): counter increments, action decode
-    (``_set_action``), ``world.step()`` physics, then the per-agent
-    obs/reward/graph/done/info sweep in agent-id order.
+    (``_set_action``), ``world.step()`` physics — with the optional per-agent
+    safety filter applied to the decoded controls (core.py:691-736) — then
+    the per-agent obs/reward/graph/done/info sweep in agent-id order.
     """
     cfg = params.cfg
     dtype = state.agent_states.dtype
@@ -815,6 +821,27 @@ def step(params: EnvParams, state: EnvState, action_idx: Array) -> tuple[EnvStat
     # action decode (environment.py:336-475) + physics (core.py:687-756)
     table = jnp.asarray(action_mod.action_table(cfg, params.total_actions), dtype)
     u = jnp.take(table, action_idx.reshape(-1), axis=0)
+
+    # safety filter on decoded controls (core.py:691-736: runs over ALL
+    # agents, including frozen ones, before integration)
+    if params.use_safety_filter:
+        from .. import safety as safety_mod
+
+        if cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+            u, violations, action_diff, _ = safety_mod.di_exp_cbf_filter(
+                state.agent_states, u, cfg
+            )
+        else:
+            if hj_data is None:
+                raise ValueError(
+                    "use_safety_filter with heading dynamics requires HJ value "
+                    "data (safety.load_hj_pickle / make_synthetic_airtaxi_hj)"
+                )
+            u, violations, action_diff, _ = safety_mod.airtaxi_hj_filter(
+                state.agent_states, u, hj_data, cfg
+            )
+        state = state.replace(action_diff=action_diff, safety_violations=violations)
+
     active = ~state.status
     values = dynamics.integrate(
         state.agent_states, u, cfg, active, method=params.integrator

@@ -53,7 +53,7 @@ def reset(params: EnvParams, key: Array, dtype=jnp.float32):
     return state, ts
 
 
-def step(params: EnvParams, state: EnvState, action_idx: Array):
+def step(params: EnvParams, state: EnvState, action_idx: Array, hj_data=None):
     """One step with auto-reset on all-done.
 
     Reward/done/info come from the terminal step; obs/node_obs/adj are the
@@ -61,7 +61,7 @@ def step(params: EnvParams, state: EnvState, action_idx: Array):
     ``prev_phase`` carries across the reset boundary, replicating the
     reference's never-cleared ``agent.previous_phase``.
     """
-    state2, ts = corridor.step(params, state, action_idx)
+    state2, ts = corridor.step(params, state, action_idx, hj_data)
     all_done = jnp.all(ts.done)
 
     key_next, rkey = jax.random.split(state2.key)
@@ -88,13 +88,13 @@ class CorridorEnv:
     ``lax.scan`` (rollouts) and ``shard_map`` (multi-host) without change.
     """
 
-    def __init__(self, params: EnvParams, dtype=jnp.float32):
+    def __init__(self, params: EnvParams, dtype=jnp.float32, hj_data=None):
         self.params = params
         self.dtype = dtype
         self.reset = jax.jit(partial(reset, params, dtype=dtype))
-        self.step = jax.jit(partial(step, params))
+        self.step = jax.jit(partial(step, params, hj_data=hj_data))
         self.vec_reset = jax.jit(jax.vmap(partial(reset, params, dtype=dtype)))
-        self.vec_step = jax.jit(jax.vmap(partial(step, params)))
+        self.vec_step = jax.jit(jax.vmap(partial(step, params, hj_data=hj_data)))
 
     @property
     def num_actions(self) -> int:

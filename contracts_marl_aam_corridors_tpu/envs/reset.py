@@ -60,6 +60,8 @@ def _blank_state(params: EnvParams, tube: TubeParams, dtype) -> dict:
         goal_min_time=zf(n),
         t=jnp.zeros((), jnp.int32),
         sim_time=zf(),
+        action_diff=zf(n),
+        safety_violations=jnp.zeros((n,), bool),
     )
 
 

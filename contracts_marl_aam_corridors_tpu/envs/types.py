@@ -193,6 +193,9 @@ class EnvState:
     # --- sequential-scenario extras (None elsewhere) ---
     tubes: Optional[TubeParams] = None  # stacked tubes, leading axis n_tubes
     current_tube: Optional[Array] = None  # (N,) int32 per-agent tube index
+    # --- safety filter bookkeeping (core.py:691-736) ---
+    action_diff: Optional[Array] = None  # (N,) ||u_raw - u_filtered||
+    safety_violations: Optional[Array] = None  # (N,) bool "filtered" flags
 
 
 @struct.dataclass
