@@ -119,6 +119,17 @@ def main(argv=None):
 
     start = time.time()
     for episode in range(episodes):
+        # mid-training fairness bump (graph_mpe_runner.py:56-61): fair_rew=10
+        # at half training.  EnvParams is static per compile, so this swaps in
+        # a re-parameterized step function (one recompile).
+        if args.increase_fairness and episode == episodes // 2:
+            args.fair_rew = 10
+            env_params, policy2, trainer2, runner = build(args)
+            if use_mesh:
+                drunner = DistributedRunner(runner, make_mesh(devices))
+                step_fn = drunner.train_episode
+            else:
+                step_fn = jax.jit(runner.train_episode)
         if args.use_linear_lr_decay:
             ts = policy.lr_decay(ts, episode, episodes)
         key, ekey = jax.random.split(key)

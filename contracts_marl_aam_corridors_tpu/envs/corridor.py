@@ -453,6 +453,57 @@ def _reward_one_agent_gated(params: EnvParams, state: EnvState, values: Array, i
     return rew, state, values
 
 
+def _safety_reward_addons(
+    params: EnvParams, state: EnvState, values: Array, i, hj_pair: Array | None = None
+) -> Array:
+    """Toggle-gated safety reward augmentation (july:1208-1218, applied
+    between the base clip and the min/max clip; all toggles default off,
+    RewardBinaryConfig multiagent/config.py:146-155)."""
+    tg = params.reward_toggles
+    w = params.reward_weights
+    cfg = params.cfg
+    dtype = values.dtype
+    n = params.num_agents
+    rew = jnp.zeros((), dtype)
+    pos = values[:, :2]
+    rel = pos - pos[i]
+    d = jnp.linalg.norm(rel, axis=-1)
+    others_alive = (jnp.arange(n) != i) & ~state.status
+
+    if tg.safety_violation:
+        # reward_safety_violation (july:1057-1062): conflict_rew per agent
+        # within separation distance
+        conflict = others_alive & (d <= cfg.separation_distance)
+        rew += w.safety_violation * jnp.sum(conflict).astype(dtype)
+    if tg.potential_conflict:
+        # reward_multiple_engagement (july:1064-1085)
+        eng_dist = cfg.engagement_distance
+        eng = others_alive & (d <= eng_dist)
+        closeness = 1.0 - jnp.clip(
+            (d - cfg.separation_distance) / (eng_dist - cfg.separation_distance), 0, 1
+        )
+        vel = dynamics.velocity_of(values, cfg)
+        dirv = rel / (d[:, None] + 1e-8)
+        closing = jnp.sum(dirv * (vel - vel[i]), axis=-1)
+        closing = jnp.abs(jnp.minimum(0.0, closing))
+        pen = jnp.sum(jnp.where(eng, closing * closeness, 0.0))
+        rew += jnp.where(
+            jnp.sum(eng) > 1, w.potential_conflict * pen, 0.0
+        ).astype(dtype)
+    if tg.diff_from_filtered_action and state.action_diff is not None:
+        # reward_diff_from_filtered_action (july:1087-1090)
+        rew += jnp.where(
+            ~state.status[i], w.diff_from_filtered_action * state.action_diff[i], 0.0
+        ).astype(dtype)
+    if tg.hj_value and hj_pair is not None:
+        # reward_hj_value (july:1092-1102), eps_hj = 0.4
+        pen = jnp.sum(
+            jnp.where(others_alive, jnp.abs(jnp.minimum(hj_pair[i] - 0.4, 0.0)), 0.0)
+        )
+        rew += (w.hj_value * pen).astype(dtype)
+    return rew
+
+
 def observations(params: EnvParams, state: EnvState) -> tuple[EnvState, Array]:
     """The 19-dim observation for every agent (july:1337-1463), vectorized.
 
@@ -553,7 +604,9 @@ def masked_adjacency(params: EnvParams, state: EnvState, values: Array) -> Array
     return adj * keep[:, None] * keep[None, :]
 
 
-def _reward_one_agent(params: EnvParams, state: EnvState, values: Array, i: int):
+def _reward_one_agent(
+    params: EnvParams, state: EnvState, values: Array, i: int, hj_pair: Array | None = None
+):
     """Reward + in-step mutations for agent ``i`` (july ``reward``:1105-1221).
 
     Returns (reward_i, updated state, updated values).  Must be called in
@@ -688,8 +741,10 @@ def _reward_one_agent(params: EnvParams, state: EnvState, values: Array, i: int)
         entry_cooldown=cooldown,
     )
 
-    # --- clips (july:1207, 1221) ---
+    # --- clips (july:1207, 1221) with safety augmentation between them ---
     rew = jnp.clip(rew, -4 * params.collision_rew, params.goal_rew * 5)
+    if params.use_safety_filter:
+        rew += _safety_reward_addons(params, state, values, i, hj_pair)
     rew = jnp.clip(rew, params.reward_weights.min_reward, params.reward_weights.max_reward)
     return rew, state, values
 
@@ -842,6 +897,17 @@ def step(
             )
         state = state.replace(action_diff=action_diff, safety_violations=violations)
 
+    # pairwise HJ values for the optional reward_hj_value term (july:1092-1102)
+    hj_pair = None
+    if params.use_safety_filter and params.reward_toggles.hj_value and hj_data is not None:
+        from ..safety import hj as hj_mod
+
+        rel = hj_mod.relative_state_airtaxi(
+            state.agent_states[:, None, :], state.agent_states[None, :, :]
+        )
+        hj_pair, in_rng = hj_mod.interpolate(hj_data.lo, hj_data.hi, hj_data.values, rel)
+        hj_pair = jnp.where(in_rng, hj_pair, jnp.inf)
+
     active = ~state.status
     values = dynamics.integrate(
         state.agent_states, u, cfg, active, method=params.integrator
@@ -904,7 +970,7 @@ def step(
         rewards = []
         node_obs = []
         for i in range(n):
-            rew_i, state, values = _reward_one_agent(params, state, values, i)
+            rew_i, state, values = _reward_one_agent(params, state, values, i, hj_pair)
             rewards.append(rew_i)
             node_obs.append(_node_obs_for_agent(params, state, values, i))
         state = state.replace(agent_states=values)

@@ -198,3 +198,33 @@ def test_env_integration_airtaxi_hj():
         state, ts = e.vec_step(state, jnp.zeros((2, 3), jnp.int32))
     assert np.isfinite(np.asarray(ts.reward)).all()
     assert np.isfinite(np.asarray(state.action_diff)).all()
+
+
+def test_safety_reward_addons_active():
+    """Toggles on: add-ons contribute and stay finite (july:1208-1218)."""
+    from contracts_marl_aam_corridors_tpu.config.physics import RewardToggles
+    from contracts_marl_aam_corridors_tpu.envs import env as env_mod
+    from contracts_marl_aam_corridors_tpu.envs.types import EnvParams
+
+    cfg = vehicle_config("air_taxi")
+    toggles = RewardToggles(
+        safety_violation=True, potential_conflict=True,
+        diff_from_filtered_action=True, hj_value=True,
+    )
+    hj = make_synthetic_airtaxi_hj(cfg)
+    base = EnvParams(cfg=cfg, num_agents=3, num_landmarks=3, episode_length=8,
+                     use_safety_filter=True)
+    withtg = EnvParams(cfg=cfg, num_agents=3, num_landmarks=3, episode_length=8,
+                       use_safety_filter=True, reward_toggles=toggles)
+    outs = []
+    for params in (base, withtg):
+        e = env_mod.CorridorEnv(params, dtype=jnp.float64, hj_data=hj)
+        state, ts = e.reset(jax.random.PRNGKey(0))
+        # force a conflict: stack agents on top of each other
+        vals = state.agent_states.at[1, :2].set(state.agent_states[0, :2] + 0.01)
+        state = state.replace(agent_states=vals)
+        state, ts = e.step(state, jnp.zeros((3,), jnp.int32))
+        outs.append(np.asarray(ts.reward))
+    assert np.isfinite(outs[1]).all()
+    # conflicting agents are penalized more with the toggles on
+    assert outs[1][0] < outs[0][0]
