@@ -29,6 +29,41 @@ from .nets import GNNBase, MLPBase, RNNLayer, dense_init
 Array = jax.Array
 
 
+class MLPActor(nn.Module):
+    """Non-graph actor (reference ``R_Actor``, onpolicy/algorithms/
+    actor_critic.py): obs -> MLPBase -> GRU -> categorical logits.  Used for
+    the classic flat-obs MPE path (env_name 'MPE')."""
+
+    cfg: ModelConfig
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, obs, rnn_states, masks, available_actions=None):
+        cfg = self.cfg
+        x = MLPBase(cfg, name="base")(obs)
+        if cfg.use_recurrent_policy:
+            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
+        logits = nn.Dense(
+            self.num_actions, kernel_init=dense_init(cfg, cfg.gain), name="action_out"
+        )(x)
+        return dist.mask_logits(logits, available_actions), rnn_states
+
+
+class MLPCritic(nn.Module):
+    """Non-graph critic (reference ``R_Critic``): cent_obs -> MLP -> GRU -> V."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, cent_obs, rnn_states, masks):
+        cfg = self.cfg
+        x = MLPBase(cfg, name="base")(cent_obs)
+        if cfg.use_recurrent_policy:
+            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
+        values = nn.Dense(1, kernel_init=dense_init(cfg, 1.0), name="v_out")(x)
+        return values, rnn_states
+
+
 class GRActor(nn.Module):
     """GNN(node ego-gather) ++ obs -> MLP -> GRU -> categorical logits."""
 

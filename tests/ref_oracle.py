@@ -33,6 +33,9 @@ def _install_shims():
         envs.__path__ = []
         registration = types.ModuleType("gym.envs.registration")
         registration.register = lambda *a, **k: None
+        registration.EnvSpec = getattr(
+            gymnasium.envs.registration, "EnvSpec", object
+        )
         envs.registration = registration
         gym.envs = envs
         sys.modules["gym.envs"] = envs
