@@ -140,6 +140,9 @@ def main(argv=None):
     if os.path.exists(os.path.join(cfg_dir, "config.yaml")):
         args = merge_eval_args(args, load_run_config(cfg_dir))
 
+    # deterministic evaluation runs in full precision regardless of the
+    # training-time compute dtype
+    args.compute_dtype = "float32"
     env_params, policy, trainer, runner = build(args)
     ts = trainer.init_state(jax.random.PRNGKey(args.seed))
 

@@ -140,6 +140,10 @@ def graph_config(args, parser: argparse.ArgumentParser):
     parser.add_argument("--use_cent_obs", type=_bool, default=False)
     parser.add_argument("--auto_mini_batch_size", action="store_true")
     parser.add_argument("--target_mini_batch_size", type=int, default=32)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="GNN/MLP trunk compute dtype (params stay f32); "
+                        "bfloat16 is ~1.7x faster on TPU for training")
     all_args = parser.parse_known_args(args)[0]
 
     if all_args.auto_mini_batch_size:
@@ -274,4 +278,5 @@ def build_model_config(args):
         use_cent_obs=args.use_cent_obs,
         max_edge_dist=args.max_edge_dist,
         use_popart=args.use_popart,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )

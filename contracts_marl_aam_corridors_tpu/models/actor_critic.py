@@ -10,6 +10,11 @@ Shapes (single step):
     masks       (B, 1)   0 => episode boundary, reset hidden state
     available_actions (B, A) or None
 
+Each network is split into ``trunk`` (GNN + MLP — expensive, time-independent)
+and ``head`` (GRU + output — cheap, carries state) so BPTT scans only the
+head while the trunk runs over every timestep in one batched launch.  The
+reference instead re-runs its whole network inside the chunk loop.
+
 The reference's ``split_batch`` minibatching (graph_actor_critic.py:16-29,
 147-163) is a host-side OOM workaround with no numeric effect; under XLA the
 whole batch is one fused launch, so it has no equivalent here.
@@ -27,6 +32,108 @@ from .config import ModelConfig
 from .nets import GNNBase, MLPBase, RNNLayer, dense_init
 
 Array = jax.Array
+
+
+def _make_gnn(cfg: ModelConfig, graph_aggr: str, name: str):
+    return nn.vmap(
+        GNNBase,
+        in_axes=(0, 0, 0),
+        out_axes=0,
+        variable_axes={"params": None},
+        split_rngs={"params": False},
+    )(cfg, graph_aggr=graph_aggr, name=name)
+
+
+class GRActor(nn.Module):
+    """GNN(node ego-gather) ++ obs -> MLP -> GRU -> categorical logits."""
+
+    cfg: ModelConfig
+    num_actions: int
+
+    def setup(self):
+        cfg = self.cfg
+        self.gnn_base = _make_gnn(cfg, cfg.actor_graph_aggr, "gnn_base")
+        self.base = MLPBase(cfg, name="base")
+        if cfg.use_recurrent_policy:
+            self.rnn = RNNLayer(cfg, name="rnn")
+        self.action_out = nn.Dense(
+            self.num_actions, kernel_init=dense_init(cfg, cfg.gain), name="action_out"
+        )
+
+    def trunk(self, obs: Array, node_obs: Array, adj: Array, agent_id: Array) -> Array:
+        nbd = self.gnn_base(node_obs, adj, agent_id)
+        return self.base(jnp.concatenate([obs, nbd], axis=-1))
+
+    def head(
+        self,
+        features: Array,
+        rnn_states: Array,
+        masks: Array,
+        available_actions: Optional[Array] = None,
+    ):
+        x = features
+        if self.cfg.use_recurrent_policy:
+            x, rnn_states = self.rnn(x, rnn_states, masks)
+        logits = dist.mask_logits(self.action_out(x), available_actions)
+        return logits, rnn_states
+
+    def __call__(
+        self,
+        obs: Array,
+        node_obs: Array,
+        adj: Array,
+        agent_id: Array,
+        rnn_states: Array,
+        masks: Array,
+        available_actions: Optional[Array] = None,
+    ):
+        return self.head(
+            self.trunk(obs, node_obs, adj, agent_id),
+            rnn_states,
+            masks,
+            available_actions,
+        )
+
+
+class GRCritic(nn.Module):
+    """GNN(global pool) [++ cent_obs] -> MLP -> GRU -> scalar value."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.gnn_base = _make_gnn(cfg, cfg.critic_graph_aggr, "gnn_base")
+        self.base = MLPBase(cfg, name="base")
+        if cfg.use_recurrent_policy:
+            self.rnn = RNNLayer(cfg, name="rnn")
+        # v_out: plain linear (PopArt handled by the ValueNorm-style wrapper in
+        # the trainer; reference defaults use_popart=False, config.py).
+        self.v_out = nn.Dense(1, kernel_init=dense_init(cfg, 1.0), name="v_out")
+
+    def trunk(self, cent_obs: Array, node_obs: Array, adj: Array, agent_id: Array) -> Array:
+        nbd = self.gnn_base(node_obs, adj, agent_id)
+        if self.cfg.use_cent_obs:
+            nbd = jnp.concatenate([cent_obs, nbd], axis=-1)
+        return self.base(nbd)
+
+    def head(self, features: Array, rnn_states: Array, masks: Array):
+        x = features
+        if self.cfg.use_recurrent_policy:
+            x, rnn_states = self.rnn(x, rnn_states, masks)
+        return self.v_out(x), rnn_states
+
+    def __call__(
+        self,
+        cent_obs: Array,
+        node_obs: Array,
+        adj: Array,
+        agent_id: Array,
+        rnn_states: Array,
+        masks: Array,
+    ):
+        return self.head(
+            self.trunk(cent_obs, node_obs, adj, agent_id), rnn_states, masks
+        )
 
 
 class MLPActor(nn.Module):
@@ -61,80 +168,4 @@ class MLPCritic(nn.Module):
         if cfg.use_recurrent_policy:
             x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
         values = nn.Dense(1, kernel_init=dense_init(cfg, 1.0), name="v_out")(x)
-        return values, rnn_states
-
-
-class GRActor(nn.Module):
-    """GNN(node ego-gather) ++ obs -> MLP -> GRU -> categorical logits."""
-
-    cfg: ModelConfig
-    num_actions: int
-
-    @nn.compact
-    def __call__(
-        self,
-        obs: Array,
-        node_obs: Array,
-        adj: Array,
-        agent_id: Array,
-        rnn_states: Array,
-        masks: Array,
-        available_actions: Optional[Array] = None,
-    ):
-        cfg = self.cfg
-        gnn = nn.vmap(
-            GNNBase,
-            in_axes=(0, 0, 0),
-            out_axes=0,
-            variable_axes={"params": None},
-            split_rngs={"params": False},
-        )(cfg, graph_aggr=cfg.actor_graph_aggr, name="gnn_base")
-        nbd = gnn(node_obs, adj, agent_id)
-        x = jnp.concatenate([obs, nbd], axis=-1)
-        x = MLPBase(cfg, name="base")(x)
-        if cfg.use_recurrent_policy:
-            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
-        logits = nn.Dense(
-            self.num_actions, kernel_init=dense_init(cfg, cfg.gain), name="action_out"
-        )(x)
-        logits = dist.mask_logits(logits, available_actions)
-        return logits, rnn_states
-
-
-class GRCritic(nn.Module):
-    """GNN(global pool) [++ cent_obs] -> MLP -> GRU -> scalar value."""
-
-    cfg: ModelConfig
-
-    @nn.compact
-    def __call__(
-        self,
-        cent_obs: Array,
-        node_obs: Array,
-        adj: Array,
-        agent_id: Array,
-        rnn_states: Array,
-        masks: Array,
-    ):
-        cfg = self.cfg
-        gnn = nn.vmap(
-            GNNBase,
-            in_axes=(0, 0, 0),
-            out_axes=0,
-            variable_axes={"params": None},
-            split_rngs={"params": False},
-        )(cfg, graph_aggr=cfg.critic_graph_aggr, name="gnn_base")
-        nbd = gnn(node_obs, adj, agent_id)
-        if cfg.use_cent_obs:
-            x = jnp.concatenate([cent_obs, nbd], axis=-1)
-        else:
-            x = nbd
-        x = MLPBase(cfg, name="base")(x)
-        if cfg.use_recurrent_policy:
-            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
-        # v_out: plain linear (PopArt handled by the ValueNorm-style wrapper in
-        # the trainer; reference defaults use_popart=False, config.py).
-        values = nn.Dense(
-            1, kernel_init=dense_init(cfg, 1.0), name="v_out"
-        )(x)
         return values, rnn_states

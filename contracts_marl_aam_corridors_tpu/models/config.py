@@ -36,6 +36,11 @@ class ModelConfig:
     use_cent_obs: bool = False
     max_edge_dist: float = 1.0
     use_popart: bool = False
+    # Computation dtype for the GNN/MLP trunk ("float32" or "bfloat16").
+    # Params stay float32; bf16 halves the HBM traffic of the edge-feature
+    # tensors that dominate the training step.  Outputs (and the GRU head)
+    # stay float32.  Parity tests require float32.
+    compute_dtype: str = "float32"
 
     @property
     def gnn_out_dim(self) -> int:

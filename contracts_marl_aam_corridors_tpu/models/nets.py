@@ -43,6 +43,11 @@ def dense_init(cfg: ModelConfig, gain: float):
     return XAVIER_U()
 
 
+def compute_dtype(cfg: ModelConfig):
+    """Trunk computation dtype (params stay f32; see ModelConfig)."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 class MLPLayer(nn.Module):
     """fc1 + layer_N hidden blocks, each Linear->act->LayerNorm (mlp.py:8-41)."""
 
@@ -54,9 +59,9 @@ class MLPLayer(nn.Module):
         act = nn.relu if cfg.use_relu else nn.tanh
         gain = RELU_GAIN if cfg.use_relu else TANH_GAIN
         for i in range(1 + cfg.layer_N):
-            x = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg, gain), name=f"fc{i}")(x)
+            x = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg, gain), dtype=compute_dtype(cfg), name=f"fc{i}")(x)
             x = act(x)
-            x = nn.LayerNorm(epsilon=LN_EPS, name=f"ln{i}")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=compute_dtype(cfg), name=f"ln{i}")(x)
         return x
 
 
@@ -68,7 +73,7 @@ class MLPBase(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.cfg.use_feature_normalization:
-            x = nn.LayerNorm(epsilon=LN_EPS, name="feature_norm")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=compute_dtype(self.cfg), name="feature_norm")(x)
         return MLPLayer(self.cfg, name="mlp")(x)
 
 
@@ -175,20 +180,24 @@ class EmbedConv(nn.Module):
         # Split the first Dense across the two parts so the (E,E,·) tensor is
         # built at hidden width, not input width.
         h_src = nn.Dense(
-            cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain), name="lin1"
+            cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain),
+            dtype=compute_dtype(cfg), name="lin1"
         )(src)
         w_edge = self.param(
             "lin1_edge", dense_init(cfg, gain), (1, cfg.embed_hidden_size), jnp.float32
         )
-        msg = h_src[:, None, :] + edge_attr[:, :, None] * w_edge[0][None, None, :]
+        msg = h_src[:, None, :] + edge_attr[:, :, None] * w_edge[0][None, None, :].astype(
+            h_src.dtype
+        )
         msg = act(msg)
-        msg = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(msg)
+        msg = nn.LayerNorm(epsilon=LN_EPS, dtype=compute_dtype(cfg), name="ln1")(msg)
         for i in range(cfg.embed_layer_n):
             msg = nn.Dense(
-                cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain), name=f"lin{i+2}"
+                cfg.embed_hidden_size, kernel_init=dense_init(cfg, gain),
+                dtype=compute_dtype(cfg), name=f"lin{i+2}"
             )(msg)
             msg = act(msg)
-            msg = nn.LayerNorm(epsilon=LN_EPS, name=f"ln{i+2}")(msg)
+            msg = nn.LayerNorm(epsilon=LN_EPS, dtype=compute_dtype(cfg), name=f"ln{i+2}")(msg)
         # aggregate: out[t] = sum_s mask[s, t] * msg[s, t]
         return jnp.einsum("st,stf->tf", edge_mask.astype(msg.dtype), msg)
 
@@ -215,31 +224,42 @@ class TransformerConv(nn.Module):
         E = x.shape[0]
         # PyG Linear default init: kaiming-ish 'glorot'; init only matters
         # before training, keep xavier for fresh params.
-        q = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_query")(x).reshape(E, H, C)
-        k = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_key")(x).reshape(E, H, C)
-        v = nn.Dense(H * C, kernel_init=XAVIER_U(), name="lin_value")(x).reshape(E, H, C)
+        cdt = compute_dtype(cfg)
+        # head-major (H, E, C) layout: attention over sources sits on the LAST
+        # axis (softmax + matmul friendly on TPU)
+        q = nn.Dense(H * C, kernel_init=XAVIER_U(), dtype=cdt, name="lin_query")(x)
+        k = nn.Dense(H * C, kernel_init=XAVIER_U(), dtype=cdt, name="lin_key")(x)
+        v = nn.Dense(H * C, kernel_init=XAVIER_U(), dtype=cdt, name="lin_value")(x)
+        qh = jnp.swapaxes(q.reshape(E, H, C), 0, 1)  # (H, T, C)
+        kh = jnp.swapaxes(k.reshape(E, H, C), 0, 1)  # (H, S, C)
+        vh = jnp.swapaxes(v.reshape(E, H, C), 0, 1)  # (H, S, C)
         w_e = self.param("lin_edge", XAVIER_U(), (1, H * C), jnp.float32)
-        e = (edge_attr[:, :, None] * w_e[0][None, None, :]).reshape(E, E, H, C)
+        w = w_e.reshape(H, C).astype(qh.dtype)
 
-        # logits[s, t, h] = q[t,h] . (k[s,h] + e[s,t,h]) / sqrt(C)
-        logits = jnp.einsum("thc,sthc->sth", q, k[:, None, :, :] + e) / jnp.sqrt(
-            jnp.asarray(C, x.dtype)
-        )
-        neg = jnp.finfo(x.dtype).min
-        logits = jnp.where(edge_mask[:, :, None], logits, neg)
-        alpha = jax.nn.softmax(logits, axis=0)
-        has_edge = jnp.any(edge_mask, axis=0)  # (E,) per target
+        # The per-edge feature is rank-1: e[s,t,h,c] = d[s,t] * w[h,c], so the
+        # attention decomposes exactly — no (E,E,H,C) tensor:
+        #   logits[h,t,s] = (q[t,h].k[s,h] + d[s,t] * q[t,h].w[h]) / sqrt(C)
+        #   out[t,h,:]    = sum_s a v[s,h,:] + (sum_s a d[s,t]) * w[h,:]
+        qk = qh @ jnp.swapaxes(kh, -1, -2)  # (H, T, S)
+        qw = jnp.sum(qh * w[:, None, :], axis=-1)  # (H, T)
+        d_ts = jnp.swapaxes(edge_attr, 0, 1).astype(qh.dtype)  # (T, S)
+        logits = (qk + qw[:, :, None] * d_ts[None]) / jnp.sqrt(jnp.asarray(C, qh.dtype))
+        neg = jnp.finfo(qh.dtype).min
+        mask_ts = jnp.swapaxes(edge_mask, 0, 1)  # (T, S)
+        logits = jnp.where(mask_ts[None], logits, neg)
+        alpha = jax.nn.softmax(logits, axis=-1)
+        has_edge = jnp.any(mask_ts, axis=-1)  # (T,)
         alpha = jnp.where(has_edge[None, :, None], alpha, 0.0)
 
-        msg = v[:, None, :, :] + e  # (E, E, H, C)
-        out = jnp.einsum("sth,sthc->thc", alpha, msg)
+        out = alpha @ vh  # (H, T, C)
+        out = out + jnp.sum(alpha * d_ts[None], axis=-1)[..., None] * w[:, None, :]
         if cfg.gnn_concat_heads:
-            out = out.reshape(E, H * C)
+            out = jnp.swapaxes(out, 0, 1).reshape(E, H * C)
             skip_dim = H * C
         else:
-            out = out.mean(axis=1)
+            out = out.mean(axis=0)
             skip_dim = C
-        out = out + nn.Dense(skip_dim, kernel_init=XAVIER_U(), name="lin_skip")(x)
+        out = out + nn.Dense(skip_dim, kernel_init=XAVIER_U(), dtype=compute_dtype(cfg), name="lin_skip")(x)
         return out
 
 
@@ -257,6 +277,9 @@ class GNNBase(nn.Module):
         cfg = self.cfg
         act = nn.relu if cfg.use_relu else nn.tanh
         edge_mask, edge_attr = adjacency_mask(adj, cfg.max_edge_dist)
+        cdt = compute_dtype(cfg)
+        node_obs = node_obs.astype(cdt)
+        edge_attr = edge_attr.astype(cdt)
         x = EmbedConv(cfg, name="embed_layer")(node_obs, edge_mask, edge_attr)
         x = act(TransformerConv(cfg, cfg.gnn_hidden_size, name="gnn1")(x, edge_mask, edge_attr))
         for i in range(cfg.gnn_layer_n):
@@ -266,7 +289,14 @@ class GNNBase(nn.Module):
                 )
             )
         if self.graph_aggr == "node":
-            return x[jnp.asarray(agent_id).reshape(()).astype(jnp.int32)]
+            # ego-row gather as a one-hot matvec: a per-sample dynamic-slice
+            # (and its scatter-add backward) is ~3x the cost of the ENTIRE
+            # GNN under vmap on TPU; the matvec is fused and cheap
+            onehot = jax.nn.one_hot(
+                jnp.asarray(agent_id).reshape(()).astype(jnp.int32), x.shape[0],
+                dtype=x.dtype,
+            )
+            return onehot @ x
         if self.graph_aggr == "global":
             if cfg.global_aggr_type == "mean":
                 return x.mean(axis=0)

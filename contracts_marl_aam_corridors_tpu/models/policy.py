@@ -20,6 +20,8 @@ from . import distributions as dist
 from .actor_critic import GRActor, GRCritic
 from .config import ModelConfig
 
+__all__ = ["GRMAPPOPolicy", "PolicyParams", "PolicyDims"]
+
 Array = jax.Array
 
 
@@ -56,6 +58,10 @@ class GRMAPPOPolicy:
         self.dims = dims
         self.actor = GRActor(cfg, dims.num_actions)
         self.critic = GRCritic(cfg)
+        # BPTT structure: "batched" runs the GNN/MLP trunk over all timesteps
+        # in one launch and scans only the GRU head; "scanned" keeps the whole
+        # network inside the time scan (lower peak memory).
+        self.trunk_mode = "batched"
 
         # Linear lr decay is applied per-EPISODE by the runner via ``set_lr``
         # (reference lr_decay -> update_linear_schedule, graph_MAPPOPolicy.py:79),
@@ -191,9 +197,11 @@ class GRMAPPOPolicy:
     ):
         """Training-time logp/entropy/values (graph_MAPPOPolicy.py:199-264).
 
-        With ``time_major=True`` the leading axes are (T, B, ...) and the
-        actor/critic trunks run under ``lax.scan`` over T with the GRU carry —
-        replacing the reference's has_zeros chunk loop (rnn.py:42-75).
+        With ``time_major=True`` the leading axes are (T, B, ...): the
+        time-independent GNN+MLP trunks run over all T*B rows in ONE batched
+        launch, and only the tiny GRU head scans over time — replacing the
+        reference's has_zeros chunk loop (rnn.py:42-75), which re-runs the
+        whole network sequentially.
         """
         if not time_major:
             logits, _ = self.actor.apply(
@@ -205,7 +213,8 @@ class GRMAPPOPolicy:
                 {"params": params.critic},
                 cent_obs, node_obs, adj, share_agent_id, rnn_states_critic, masks,
             )
-        else:
+        elif self.trunk_mode == "scanned":
+            # whole network inside the time scan (residuals stay per-step)
             def actor_step(h, xs):
                 o, no, ad, ai, m, av = xs
                 lg, h = self.actor.apply(
@@ -214,8 +223,7 @@ class GRMAPPOPolicy:
                 return h, lg
 
             _, logits = jax.lax.scan(
-                actor_step,
-                rnn_states_actor,
+                actor_step, rnn_states_actor,
                 (obs, node_obs, adj, agent_id, masks, available_actions),
             )
 
@@ -227,10 +235,48 @@ class GRMAPPOPolicy:
                 return h, v
 
             _, values = jax.lax.scan(
-                critic_step,
-                rnn_states_critic,
+                critic_step, rnn_states_critic,
                 (cent_obs, node_obs, adj, share_agent_id, masks),
             )
+        else:
+            T = obs.shape[0]
+            flat = lambda x: x.reshape((T * x.shape[1],) + x.shape[2:])
+            unflat = lambda x: x.reshape((T, -1) + x.shape[1:])
+
+            feats_a = unflat(
+                self.actor.apply(
+                    {"params": params.actor},
+                    flat(obs), flat(node_obs), flat(adj), flat(agent_id),
+                    method=GRActor.trunk,
+                )
+            )
+            feats_c = unflat(
+                self.critic.apply(
+                    {"params": params.critic},
+                    flat(cent_obs), flat(node_obs), flat(adj), flat(share_agent_id),
+                    method=GRCritic.trunk,
+                )
+            )
+
+            def actor_head(h, xs):
+                f, m, av = xs
+                lg, h = self.actor.apply(
+                    {"params": params.actor}, f, h, m, av, method=GRActor.head
+                )
+                return h, lg
+
+            _, logits = jax.lax.scan(
+                actor_head, rnn_states_actor, (feats_a, masks, available_actions)
+            )
+
+            def critic_head(h, xs):
+                f, m = xs
+                v, h = self.critic.apply(
+                    {"params": params.critic}, f, h, m, method=GRCritic.head
+                )
+                return h, v
+
+            _, values = jax.lax.scan(critic_head, rnn_states_critic, (feats_c, masks))
         action_log_probs = dist.log_probs(logits, action)
         ent = dist.entropy(logits)
         if active_masks is not None:
