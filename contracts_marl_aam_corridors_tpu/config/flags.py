@@ -169,6 +169,7 @@ def scenario_config(parser: argparse.ArgumentParser):
     parser.add_argument("--num_landmarks", type=int, default=3)
     parser.add_argument("--num_agents", type=int, default=2)
     parser.add_argument("--num_obstacles", type=int, default=0)
+    parser.add_argument("--num_walls", type=int, default=0)
     parser.add_argument("--collaborative", type=_bool, default=False)
     parser.add_argument("--max_speed", type=float, default=2)
     parser.add_argument("--collision_rew", type=float, default=5)
@@ -218,6 +219,7 @@ def build_env_params(args):
         num_agents=args.num_agents,
         num_landmarks=args.num_landmarks,
         num_obstacles=args.num_obstacles,
+        num_walls=getattr(args, "num_walls", 0),
         episode_length=args.episode_length,
         world_size=args.world_size,
         total_actions=args.total_actions,

@@ -35,11 +35,37 @@ from .types import EnvParams, EnvState, TimeStep
 Array = jax.Array
 
 AGENT_SIZE = 0.06
-ENTITY_AGENT, ENTITY_LANDMARK, ENTITY_OBSTACLE = 0.0, 1.0, 2.0
+ENTITY_AGENT, ENTITY_LANDMARK, ENTITY_OBSTACLE, ENTITY_WALL = 0.0, 1.0, 2.0, 3.0
+
+# Wall geometry: the reference creates walls with the class DEFAULTS and
+# never repositions them (july:315-323; core.py:354-368): horizontal,
+# axis_pos 0.0, endpoints (-1, 1), width 0.1.  Multiple walls coincide.
+WALL_AXIS_POS = 0.0
+WALL_ENDPOINTS = (-1.0, 1.0)
+WALL_WIDTH = 0.1
+
+
+def _wall_positions(params: EnvParams, dtype) -> Array:
+    """Nominal wall center positions for the entity distance matrix."""
+    cx = (WALL_ENDPOINTS[0] + WALL_ENDPOINTS[1]) / 2.0
+    return jnp.broadcast_to(
+        jnp.asarray([cx, WALL_AXIS_POS], dtype), (params.num_walls, 2)
+    )
 
 
 def _entity_positions(params: EnvParams, pos: Array, state: EnvState) -> Array:
-    return jnp.concatenate([pos, state.landmark_pos, state.obstacle_pos], axis=0)
+    parts = [pos, state.landmark_pos, state.obstacle_pos]
+    if params.num_walls:
+        parts.append(_wall_positions(params, pos.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _wall_collision(pos_i: Array, entity_size: float = AGENT_SIZE) -> Array:
+    """Axis-aligned wall collision with 1.5*size margins (july:877-890)."""
+    m = 1.5 * entity_size
+    in_y = (WALL_AXIS_POS - m <= pos_i[1]) & (pos_i[1] <= WALL_AXIS_POS + m)
+    in_x = (WALL_ENDPOINTS[0] - m <= pos_i[0]) & (pos_i[0] <= WALL_ENDPOINTS[1] + m)
+    return in_y & in_x
 
 
 def _decrement_cooldown(cooldown: Array) -> Array:
@@ -54,11 +80,14 @@ def _phase_all(params: EnvParams, state_tube, pos: Array, prev_phase: Array):
 
 
 def _obstacle_collision(params: EnvParams, state: EnvState, pos_i: Array) -> Array:
-    """july ``is_obstacle_collision``:864-890 (no walls in primary configs)."""
-    if params.num_obstacles == 0:
-        return jnp.asarray(False)
-    d = jnp.linalg.norm(state.obstacle_pos - pos_i, axis=-1)
-    return jnp.any(d < 2.0 * (AGENT_SIZE + AGENT_SIZE))
+    """july ``is_obstacle_collision``:864-890 (obstacles + walls)."""
+    hit = jnp.asarray(False)
+    if params.num_obstacles:
+        d = jnp.linalg.norm(state.obstacle_pos - pos_i, axis=-1)
+        hit |= jnp.any(d < 2.0 * (AGENT_SIZE + AGENT_SIZE))
+    if params.num_walls:
+        hit |= _wall_collision(pos_i)
+    return hit
 
 
 GATED_SCENARIOS = ("rot_inv", "two_phase", "three_phase")
@@ -555,13 +584,17 @@ def _node_obs_for_agent(
     if params.scenario in GATED_SCENARIOS:
         return _node_obs_gated(params, state, values, i)
     cfg = params.cfg
-    n, l, o = params.num_agents, params.num_landmarks, params.num_obstacles
+    n, l, o, w = (
+        params.num_agents,
+        params.num_landmarks,
+        params.num_obstacles,
+        params.num_walls,
+    )
+    dtype = values.dtype
     pos = values[:, :2]
     vel = dynamics.velocity_of(values, cfg)
-    zeros_l = jnp.zeros((l, 2), values.dtype)
-    zeros_o = jnp.zeros((o, 2), values.dtype)
-    entity_pos = jnp.concatenate([pos, state.landmark_pos, state.obstacle_pos], axis=0)
-    entity_vel = jnp.concatenate([vel, zeros_l, zeros_o], axis=0)
+    entity_pos = _entity_positions(params, pos, state)
+    entity_vel = jnp.concatenate([vel, jnp.zeros((l + o + w, 2), dtype)], axis=0)
     rel_pos = entity_pos - pos[i]
     rel_vel = entity_vel - vel[i]
     # agents: goal = landmark_poses[entity.id]; landmarks/obstacles: own rel_pos
@@ -569,16 +602,32 @@ def _node_obs_for_agent(
     rel_goal = jnp.concatenate([agent_goal_rel, rel_pos[n:]], axis=0)
     occ_agents = state.occupied[state.goal_match[jnp.arange(n)]]
     occupied = jnp.concatenate(
-        [occ_agents, jnp.ones((l + o,), values.dtype)], axis=0
+        [occ_agents, jnp.ones((l + o + w,), dtype)], axis=0
     )[:, None]
     etype = jnp.concatenate(
         [
-            jnp.full((n,), ENTITY_AGENT, values.dtype),
-            jnp.full((l,), ENTITY_LANDMARK, values.dtype),
-            jnp.full((o,), ENTITY_OBSTACLE, values.dtype),
+            jnp.full((n,), ENTITY_AGENT, dtype),
+            jnp.full((l,), ENTITY_LANDMARK, dtype),
+            jnp.full((o,), ENTITY_OBSTACLE, dtype),
+            jnp.full((w,), ENTITY_WALL, dtype),
         ]
     )[:, None]
-    return jnp.concatenate([rel_vel, rel_pos, rel_goal, occupied, etype], axis=-1)
+    base = [rel_vel, rel_pos, rel_goal, occupied]
+    if w == 0:
+        return jnp.concatenate(base + [etype], axis=-1)
+    # 13-dim wall layout (july:1765-1767): [rel_vel, rel_pos, rel_goal,
+    # occupied, goal_history, o_corner(2), d_corner(2), type].  Non-wall rows
+    # zero-pad the wall-only slots.  (The reference crashes here — ragged
+    # rows — so this homogenization is our documented design choice.)
+    E = n + l + o + w
+    gh = jnp.zeros((E, 1), dtype)
+    o_corner = jnp.zeros((E, 2), dtype)
+    d_corner = jnp.zeros((E, 2), dtype)
+    oc = jnp.asarray([WALL_ENDPOINTS[0], WALL_AXIS_POS + WALL_WIDTH / 2], dtype) - pos[i]
+    dc = jnp.asarray([WALL_ENDPOINTS[1], WALL_AXIS_POS - WALL_WIDTH / 2], dtype) - pos[i]
+    o_corner = o_corner.at[n + l + o :].set(oc)
+    d_corner = d_corner.at[n + l + o :].set(dc)
+    return jnp.concatenate(base + [gh, o_corner, d_corner, etype], axis=-1)
 
 
 def masked_adjacency(params: EnvParams, state: EnvState, values: Array) -> Array:
@@ -597,7 +646,7 @@ def masked_adjacency(params: EnvParams, state: EnvState, values: Array) -> Array
         [
             state.status,
             landmark_done,
-            jnp.zeros((params.num_obstacles,), bool),
+            jnp.zeros((params.num_obstacles + params.num_walls,), bool),
         ]
     )
     keep = ~disconnected
@@ -965,17 +1014,22 @@ def step(
 
         # sequential reward sweep (phase call #2 each; status/velocity
         # mutations visible to later agents), node features captured per agent
-        # right after its reward (environment.py:1040-1046)
+        # right after its reward (environment.py:1040-1046).  Run as a
+        # lax.scan over the agent index: identical sequential semantics with
+        # an n-times smaller HLO (the unrolled loop at n=10 plus the safety
+        # filter crashes the TPU compile helper).
         values = state.agent_states
-        rewards = []
-        node_obs = []
-        for i in range(n):
+
+        def sweep(carry, i):
+            state, values = carry
             rew_i, state, values = _reward_one_agent(params, state, values, i, hj_pair)
-            rewards.append(rew_i)
-            node_obs.append(_node_obs_for_agent(params, state, values, i))
+            node_i = _node_obs_for_agent(params, state, values, i)
+            return (state, values), (rew_i, node_i)
+
+        (state, values), (reward, node_obs) = jax.lax.scan(
+            sweep, (state, values), jnp.arange(n)
+        )
         state = state.replace(agent_states=values)
-        reward = jnp.stack(rewards)
-        node_obs = jnp.stack(node_obs)
 
     # final shared adjacency (the reference masks one aliased array in place,
     # so every agent ends up with the post-sweep version)

@@ -128,6 +128,10 @@ def _spawn_agents(params: EnvParams, tube: TubeParams, key: Array, dtype):
         d = jnp.linalg.norm(placed[None, :, :] - cand[:, None, :], axis=-1)  # (K, n)
         valid_prev = jnp.arange(n) < k
         collide = jnp.any(valid_prev[None, :] & (d < sep), axis=-1)  # (K,)
+        if params.num_walls:
+            from . import corridor as corridor_mod
+
+            collide |= jax.vmap(corridor_mod._wall_collision)(cand)
         if params.num_obstacles:
             # July never places obstacles in reset, so they sit at the origin
             # (core.py:400 default state); spawn still rejects within

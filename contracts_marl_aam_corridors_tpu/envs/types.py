@@ -38,6 +38,13 @@ class EnvParams:
     num_agents: int = struct.field(pytree_node=False, default=3)
     num_landmarks: int = struct.field(pytree_node=False, default=3)
     num_obstacles: int = struct.field(pytree_node=False, default=0)
+    # Axis-aligned walls (reference ``Wall``, core.py:354-368; july:315-323
+    # creates them with DEFAULT geometry: horizontal, axis_pos 0, endpoints
+    # (-1, 1), width 0.1 — never placed elsewhere).  NOTE the reference's
+    # graph path crashes with walls (no ``state.p_pos`` for distances and
+    # ragged 13- vs 8-dim node rows); here walls get a nominal center
+    # position for the distance matrix and node rows pad to 13 dims.
+    num_walls: int = struct.field(pytree_node=False, default=0)
     episode_length: int = struct.field(pytree_node=False, default=25)
     world_size: float = struct.field(pytree_node=False, default=2.0)
     total_actions: int = struct.field(pytree_node=False, default=5)
@@ -74,7 +81,7 @@ class EnvParams:
 
     @property
     def num_entities(self) -> int:
-        return self.num_agents + self.num_landmarks + self.num_obstacles
+        return self.num_agents + self.num_landmarks + self.num_obstacles + self.num_walls
 
     @property
     def node_feat_dim(self) -> int:
@@ -86,6 +93,8 @@ class EnvParams:
             return 7
         if self.scenario == "fairassign":
             return 13
+        if self.num_walls > 0:
+            return 13  # wall rows carry corner features (july:1765-1767)
         return 8
 
     @property

@@ -94,11 +94,13 @@ def di_exp_cbf_filter(
     min_by_dist = jnp.min(dist_o, axis=1)
     j = jnp.argmin(value_o, axis=1)  # min-value neighbor (safety_filter.py:527)
 
-    sel = lambda x: jnp.take_along_axis(x, j[:, None], axis=1)[:, 0]
-    rel_j = jnp.take_along_axis(rel, j[:, None, None], axis=1)[:, 0]
+    # one-hot selections (batched dynamic gathers under vmap SEGV the TPU
+    # compile helper)
+    onehot = jax.nn.one_hot(j, n, dtype=dtype)
+    rel_j = jnp.einsum("nk,nkf->nf", onehot, rel)
     value_j, lf_j, lg_j = _di_cbf_terms(rel_j, cfg.separation_distance, cfg.cbf_rate)
 
-    u_ref = jnp.concatenate([actions, actions[j]], axis=-1)  # (N, 4)
+    u_ref = jnp.concatenate([actions, onehot @ actions], axis=-1)  # (N, 4)
     b = lf_j + cfg.cbf_rate * value_j
     u = cbf_qp_analytic(u_ref, lg_j, b, jnp.ones_like(u_ref))
 
@@ -112,6 +114,6 @@ def di_exp_cbf_filter(
     in_range = min_by_dist <= cfg.coordination_range
     diff_full = jnp.linalg.norm(u - u_ref, axis=-1)
     filtered = in_range & (diff_full > 1e-4)
-    out = jnp.where(in_range[:, None], u[:, :2], actions)
-    action_diff = jnp.linalg.norm(actions - out, axis=-1)
+    out = jnp.where(in_range[:, None], u[:, :2], actions).astype(actions.dtype)
+    action_diff = jnp.linalg.norm(actions - out, axis=-1).astype(actions.dtype)
     return out, filtered, action_diff, j

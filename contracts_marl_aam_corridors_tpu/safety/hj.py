@@ -56,12 +56,21 @@ def interpolate(data_lo, data_hi, table: Array, x: Array) -> tuple[Array, Array]
     i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, shape - 2)
     frac = t - i0
 
+    # flat linear-index gathers (one per corner): multi-dimensional advanced
+    # indexing under vmap generates gather HLOs that SEGV the TPU compiler at
+    # ~100 pairwise lookups; jnp.take over a flattened table lowers cleanly
+    grid_shape = table.shape[:d]
+    strides = np.cumprod((grid_shape[1:] + (1,))[::-1])[::-1].copy()
+    strides = jnp.asarray(strides)
+    table_flat = table.reshape((-1,) + table.shape[d:])
+
     out = None
     for corner in range(2**d):
         bits = jnp.asarray([(corner >> k) & 1 for k in range(d)])
         idx = i0 + bits
         w = jnp.prod(jnp.where(bits == 1, frac, 1.0 - frac), axis=-1)
-        val = table[tuple(jnp.moveaxis(idx, -1, 0))]
+        lin = jnp.sum(idx * strides, axis=-1)
+        val = jnp.take(table_flat, lin, axis=0)
         contrib = w[..., None] * val if val.ndim > w.ndim else w * val
         out = contrib if out is None else out + contrib
     return out, in_range
@@ -111,12 +120,19 @@ def _optimal_control(rel: Array, grad: Array, cfg: VehicleConfig) -> Array:
     including the speed-bound box shrinking."""
     direction = jnp.einsum("...i,...ij->...j", grad, _control_jacobian(rel))
     batch = rel.shape[:-1]
+    dt = rel.dtype
     lo = jnp.broadcast_to(
-        jnp.asarray([-cfg.angular_rate_max, -cfg.angular_rate_max, cfg.accel_min, cfg.accel_min]),
+        jnp.asarray(
+            [-cfg.angular_rate_max, -cfg.angular_rate_max, cfg.accel_min, cfg.accel_min],
+            dt,
+        ),
         batch + (4,),
     )
     hi = jnp.broadcast_to(
-        jnp.asarray([cfg.angular_rate_max, cfg.angular_rate_max, cfg.accel_max, cfg.accel_max]),
+        jnp.asarray(
+            [cfg.angular_rate_max, cfg.angular_rate_max, cfg.accel_max, cfg.accel_max],
+            dt,
+        ),
         batch + (4,),
     )
     # box shrinking at the speed bounds (ego accel slot 2, other slot 3)
@@ -161,12 +177,16 @@ def airtaxi_hj_filter(
     min_by_dist = jnp.min(dist_o, axis=1)
     j = jnp.argmin(values_o, axis=1)
 
-    rel_j = jnp.take_along_axis(rel, j[:, None, None], axis=1)[:, 0]  # (N,5)
-    value_j = jnp.take_along_axis(values_o, j[:, None], axis=1)[:, 0]
-    range_j = jnp.take_along_axis(in_range & ~eye, j[:, None], axis=1)[:, 0]
+    # per-row selections as one-hot matmuls: batched dynamic gathers under
+    # vmap SEGV the TPU compile helper (and are slow anyway at tiny N)
+    onehot = jax.nn.one_hot(j, n, dtype=dtype)  # (N, N)
+    rel_j = jnp.einsum("nk,nkf->nf", onehot, rel)
+    value_j = jnp.min(values_o, axis=1)  # value at j == the min (inf-safe)
+    range_j = jnp.sum(onehot * (in_range & ~eye), axis=1) > 0.5
     grad_j, _ = interpolate(hj.lo, hj.hi, hj.grads, rel_j)
 
-    u_ref = jnp.concatenate([actions, actions[j]], axis=-1)  # (N,4) [w_a,a_a,w_b,a_b]
+    actions_j = onehot @ actions
+    u_ref = jnp.concatenate([actions, actions_j], axis=-1)  # (N,4) [w_a,a_a,w_b,a_b]
     # reorder into the HJ control layout [w_a, w_b, a_a, a_b]
     u_ref_hj = jnp.stack([u_ref[:, 0], u_ref[:, 2], u_ref[:, 1], u_ref[:, 3]], axis=-1)
 
@@ -201,8 +221,8 @@ def airtaxi_hj_filter(
     diff_full = jnp.linalg.norm(u - u_ref_hj, axis=-1)
     filtered = apply & (diff_full > 1e-4)
     ego_u = jnp.stack([u[:, 0], u[:, 2]], axis=-1)  # back to [w_a, a_a]
-    out = jnp.where(apply[:, None], ego_u, actions)
-    action_diff = jnp.linalg.norm(actions - out, axis=-1)
+    out = jnp.where(apply[:, None], ego_u, actions).astype(actions.dtype)
+    action_diff = jnp.linalg.norm(actions - out, axis=-1).astype(actions.dtype)
     return out, filtered, action_diff, j
 
 
