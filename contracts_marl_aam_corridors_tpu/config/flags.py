@@ -181,7 +181,7 @@ def scenario_config(parser: argparse.ArgumentParser):
     # safety filter (train_mpe.py:104-116)
     parser.add_argument("--use_safety_filter", type=_bool, default=False)
     parser.add_argument("--safety_filter_type", type=str, default="hj",
-                        choices=["hj", "cbf", "exp_cbf"])
+                        choices=["hj", "cbf", "exp_cbf", "rvo"])
     parser.add_argument("--safety_value_fn", type=str,
                         default="data/airtaxi_value_function.pkl")
     parser.add_argument("--safety_ttr_fn", type=str,
@@ -231,6 +231,7 @@ def build_env_params(args):
         use_dones=args.use_dones,
         graph_feat_type=args.graph_feat_type,
         use_safety_filter=args.use_safety_filter,
+        safety_filter_type=args.safety_filter_type,
     )
 
 

@@ -931,7 +931,11 @@ def step(
     if params.use_safety_filter:
         from .. import safety as safety_mod
 
-        if cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
+        if params.safety_filter_type == "rvo":
+            from ..safety.rvo import rvo_filter
+
+            u, violations, action_diff, _ = rvo_filter(state.agent_states, u, cfg)
+        elif cfg.dynamics == DynamicsType.DOUBLE_INTEGRATOR:
             u, violations, action_diff, _ = safety_mod.di_exp_cbf_filter(
                 state.agent_states, u, cfg
             )

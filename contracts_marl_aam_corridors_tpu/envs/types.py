@@ -64,6 +64,9 @@ class EnvParams:
         pytree_node=False, default_factory=RewardToggles
     )
     use_safety_filter: bool = struct.field(pytree_node=False, default=False)
+    # 'hj' (air-taxi HJ grid), 'exp_cbf' (closed-form DI CBF), or 'rvo'
+    # (ORCA velocity projection, DI) — train_mpe.py:106-108 choices + rvo
+    safety_filter_type: str = struct.field(pytree_node=False, default="hj")
     # Parity hook: when set, goal-reach velocity resets use this fixed heading
     # instead of a random draw (reference core.py:324-333 draws U(0, 2pi));
     # lets golden tests compare trajectories bit-for-bit.

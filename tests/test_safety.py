@@ -228,3 +228,33 @@ def test_safety_reward_addons_active():
     assert np.isfinite(outs[1]).all()
     # conflicting agents are penalized more with the toggles on
     assert outs[1][0] < outs[0][0]
+
+
+def test_orca_projection():
+    """ORCA velocity projection: head-on agents diverge, distant agents keep
+    their preferred velocity, speeds respect the cap."""
+    from contracts_marl_aam_corridors_tpu.safety.rvo import orca_project, rvo_filter
+
+    # head-on pair on the x axis
+    pos = jnp.asarray([[0.0, 0.0], [1.0, 0.0]])
+    vel = jnp.asarray([[0.5, 0.0], [-0.5, 0.0]])
+    pref = vel
+    v = orca_project(pos, vel, pref, max_speed=1.0, radius=0.15)
+    v = np.asarray(v)
+    # lateral components appear (agents sidestep) or closing speed drops
+    closing = v[0, 0] - v[1, 0]
+    assert closing < 1.0 - 1e-3 or abs(v[0, 1]) + abs(v[1, 1]) > 1e-4
+    assert np.all(np.linalg.norm(v, axis=-1) <= 1.0 + 1e-6)
+
+    # far agents: unchanged
+    pos = jnp.asarray([[0.0, 0.0], [100.0, 0.0]])
+    v = orca_project(pos, vel, pref, max_speed=1.0, radius=0.15)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(pref), atol=1e-5)
+
+    # DI filter wrapper
+    cfg = vehicle_config("double_integrator")
+    states = jnp.asarray([[0.0, 0.0, 0.8, 0.0], [0.6, 0.0, -0.8, 0.0]])
+    actions = jnp.asarray([[1.0, 0.0], [-1.0, 0.0]])
+    a, filtered, diff, _ = rvo_filter(states, actions, cfg)
+    assert bool(filtered[0]) and bool(filtered[1])
+    assert np.isfinite(np.asarray(a)).all()
