@@ -1018,21 +1018,30 @@ def step(
 
         # sequential reward sweep (phase call #2 each; status/velocity
         # mutations visible to later agents), node features captured per agent
-        # right after its reward (environment.py:1040-1046).  Run as a
-        # lax.scan over the agent index: identical sequential semantics with
-        # an n-times smaller HLO (the unrolled loop at n=10 plus the safety
-        # filter crashes the TPU compile helper).
+        # right after its reward (environment.py:1040-1046).  Unrolled for
+        # small fleets (fastest — no scan serialization overhead); as a
+        # lax.scan over the agent index for large-fleet + safety-filter
+        # configs, whose unrolled HLO crashes the TPU compile helper.
         values = state.agent_states
+        unroll = not (params.use_safety_filter and n > 5)
+        if unroll:
+            rewards, node_obs = [], []
+            for i in range(n):
+                rew_i, state, values = _reward_one_agent(params, state, values, i, hj_pair)
+                rewards.append(rew_i)
+                node_obs.append(_node_obs_for_agent(params, state, values, i))
+            reward = jnp.stack(rewards)
+            node_obs = jnp.stack(node_obs)
+        else:
+            def sweep(carry, i):
+                state, values = carry
+                rew_i, state, values = _reward_one_agent(params, state, values, i, hj_pair)
+                node_i = _node_obs_for_agent(params, state, values, i)
+                return (state, values), (rew_i, node_i)
 
-        def sweep(carry, i):
-            state, values = carry
-            rew_i, state, values = _reward_one_agent(params, state, values, i, hj_pair)
-            node_i = _node_obs_for_agent(params, state, values, i)
-            return (state, values), (rew_i, node_i)
-
-        (state, values), (reward, node_obs) = jax.lax.scan(
-            sweep, (state, values), jnp.arange(n)
-        )
+            (state, values), (reward, node_obs) = jax.lax.scan(
+                sweep, (state, values), jnp.arange(n)
+            )
         state = state.replace(agent_states=values)
 
     # final shared adjacency (the reference masks one aliased array in place,
