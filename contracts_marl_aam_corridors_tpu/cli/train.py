@@ -102,6 +102,15 @@ def main(argv=None):
     ts = trainer.init_state(k_init)
     carry = runner.init_carry(k_carry)
 
+    start_episode = 0
+    if args.model_dir:
+        # resume: full TrainState (params + optimizers + value norm) — richer
+        # than the reference's actor/critic-only warm start (base_runner:179)
+        from ..utils.checkpoint import restore_checkpoint
+
+        ts, start_episode = restore_checkpoint(args.model_dir, ts)
+        print(f"resumed from {args.model_dir} at episode {start_episode}")
+
     devices = jax.devices()
     use_mesh = len(devices) > 1 and args.n_rollout_threads % len(devices) == 0
     if use_mesh:
@@ -118,7 +127,7 @@ def main(argv=None):
     )
 
     start = time.time()
-    for episode in range(episodes):
+    for episode in range(start_episode, episodes):
         # mid-training fairness bump (graph_mpe_runner.py:56-61): fair_rew=10
         # at half training.  EnvParams is static per compile, so this swaps in
         # a re-parameterized step function (one recompile).
