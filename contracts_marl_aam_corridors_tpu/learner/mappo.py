@@ -85,11 +85,17 @@ class GRMAPPOTrainer:
     use_policy_active_masks: bool = True
 
     def init_state(self, key, dtype=jnp.float32) -> TrainState:
+        from .popart import popart_init
         from .valuenorm import vn_init
 
         params = self.policy.init_params(key, dtype)
         a_opt, c_opt = self.policy.init_opt_states(params)
-        vn = vn_init(dtype) if (self.use_valuenorm or self.use_popart) else None
+        if self.use_popart:
+            vn = popart_init(dtype)
+        elif self.use_valuenorm:
+            vn = vn_init(dtype)
+        else:
+            vn = None
         return TrainState(params=params, actor_opt=a_opt, critic_opt=c_opt, vn=vn)
 
     # ------------------------------------------------------------------
@@ -103,8 +109,19 @@ class GRMAPPOTrainer:
         ) = batch
 
         # value normalizer updates from returns BEFORE normalize
-        # (cal_value_loss, graph_mappo.py:93-99)
-        vn = vn_update(ts.vn, returns.reshape(-1, 1)) if ts.vn is not None else None
+        # (cal_value_loss, graph_mappo.py:93-99).  PopArt additionally
+        # rescales the critic's output layer (output-preserving).
+        params_in = ts.params
+        popart_rescale = None
+        if ts.vn is None:
+            vn = None
+        elif self.use_popart:
+            from .popart import popart_update, rescale_v_out
+
+            vn, scale, shift = popart_update(ts.vn, returns.reshape(-1, 1))
+            popart_rescale = lambda p: {**p, "v_out": rescale_v_out(p["v_out"], scale, shift)}
+        else:
+            vn = vn_update(ts.vn, returns.reshape(-1, 1))
 
         def loss_fn(params: PolicyParams):
             values, logp, entropy = self.policy.evaluate_actions(
@@ -155,9 +172,14 @@ class GRMAPPOTrainer:
         actor_gn, critic_gn = gnorm(grads.actor), gnorm(grads.critic)
         up_a, new_a_opt = self.policy.actor_tx.update(grads.actor, ts.actor_opt, ts.params.actor)
         up_c, new_c_opt = self.policy.critic_tx.update(grads.critic, ts.critic_opt, ts.params.critic)
+        critic_base = ts.params.critic
+        if popart_rescale is not None:
+            # rescale v_out (forward/backward already used the old weights,
+            # matching the reference's order), then apply the gradient step
+            critic_base = popart_rescale(dict(critic_base))
         new_params = PolicyParams(
             actor=optax.apply_updates(ts.params.actor, up_a),
-            critic=optax.apply_updates(ts.params.critic, up_c),
+            critic=optax.apply_updates(critic_base, up_c),
         )
         info = {
             "value_loss": value_loss,

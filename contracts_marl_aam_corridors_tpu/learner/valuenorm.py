@@ -56,11 +56,19 @@ def vn_update(state: ValueNormState, x: Array) -> ValueNormState:
     )
 
 
-def vn_normalize(state: ValueNormState, x: Array) -> Array:
+def vn_normalize(state, x: Array) -> Array:
+    if not isinstance(state, ValueNormState):  # PopArtState
+        from .popart import popart_normalize
+
+        return popart_normalize(state, x)
     mean, var = _stats(state)
     return (x - mean) / jnp.sqrt(var)
 
 
-def vn_denormalize(state: ValueNormState, x: Array) -> Array:
+def vn_denormalize(state, x: Array) -> Array:
+    if not isinstance(state, ValueNormState):  # PopArtState
+        from .popart import popart_denormalize
+
+        return popart_denormalize(state, x)
     mean, var = _stats(state)
     return x * jnp.sqrt(var) + mean

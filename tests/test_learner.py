@@ -162,3 +162,50 @@ def test_stop_action_masking(tiny_setup):
     np.testing.assert_array_equal(np.asarray(avail[0, 0]), np.ones(A))
     done_row = np.asarray(avail[0, 1])
     assert done_row[A // 2] == 1 and done_row.sum() == 1
+
+
+def test_popart_output_preservation():
+    """PopArt rescaling keeps denormalized critic outputs (approximately)
+    invariant across a stats update (popart.py:52-65)."""
+    from contracts_marl_aam_corridors_tpu.learner.popart import (
+        popart_denormalize, popart_init, popart_update, rescale_v_out,
+    )
+
+    rng = np.random.RandomState(0)
+    st = popart_init()
+    # warm the stats so debiasing is meaningful
+    for i in range(3):
+        st, scale, shift = popart_update(st, jnp.asarray(rng.randn(64, 1) * 5 + 3))
+
+    w = jnp.asarray(rng.randn(8, 1) * 0.3)
+    b = jnp.asarray(rng.randn(1) * 0.1)
+    x = jnp.asarray(rng.randn(16, 8))
+    before = popart_denormalize(st, x @ w + b)
+
+    st2, scale, shift = popart_update(st, jnp.asarray(rng.randn(64, 1) * 5 + 3))
+    new = rescale_v_out({"kernel": w, "bias": b}, scale, shift)
+    after = popart_denormalize(st2, x @ new["kernel"] + new["bias"])
+    # invariance is exact w.r.t. the NON-debiased stats the rescale uses;
+    # the debiased normalize introduces only a small drift
+    np.testing.assert_allclose(np.asarray(after), np.asarray(before), rtol=0.15, atol=0.3)
+
+
+def test_popart_training_runs(tiny_setup):
+    from contracts_marl_aam_corridors_tpu.learner.mappo import GRMAPPOTrainer
+    from contracts_marl_aam_corridors_tpu.learner.runner import Runner
+
+    env_params, policy, _, _ = tiny_setup
+    trainer = GRMAPPOTrainer(
+        policy, ppo_epoch=2, num_mini_batch=1, data_chunk_length=10,
+        use_valuenorm=False, use_popart=True,
+    )
+    runner = Runner(env_params=env_params, policy=policy, trainer=trainer,
+                    n_rollout_threads=4, episode_length=10)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    carry = runner.init_carry(jax.random.PRNGKey(1))
+    ts2, c2, info, _ = jax.jit(runner.train_episode)(ts, carry, jax.random.PRNGKey(2))
+    assert np.isfinite(float(info["value_loss"]))
+    # v_out changed via both rescale and gradient
+    dv = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                      ts.params.critic["v_out"], ts2.params.critic["v_out"])
+    assert max(jax.tree.leaves(dv)) > 0
