@@ -46,12 +46,15 @@ def build(args):
         use_max_grad_norm=args.use_max_grad_norm,
         use_linear_lr_decay=args.use_linear_lr_decay,
     )
+    # non-recurrent 'mappo' uses the flat feed-forward generator semantics
+    # (graph_buffer.py:368): chunk length 1 == per-timestep shuffling
+    chunk = args.data_chunk_length if cfg.use_recurrent_policy else 1
     trainer = GRMAPPOTrainer(
         policy,
         clip_param=args.clip_param,
         ppo_epoch=args.ppo_epoch,
         num_mini_batch=args.num_mini_batch,
-        data_chunk_length=args.data_chunk_length,
+        data_chunk_length=chunk,
         value_loss_coef=args.value_loss_coef,
         entropy_coef=args.entropy_coef,
         huber_delta=args.huber_delta,

@@ -158,3 +158,7 @@ def test_parity_two_phase():
 
 def test_parity_three_phase():
     drive_parity("air_taxi", 3, 0, 75, seed=9, steps=74, scenario="three_phase")
+
+
+def test_parity_unicycle():
+    drive_parity("unicycle_vehicle", 3, 0, 40, seed=2, steps=39)

@@ -209,3 +209,27 @@ def test_popart_training_runs(tiny_setup):
     dv = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                       ts.params.critic["v_out"], ts2.params.critic["v_out"])
     assert max(jax.tree.leaves(dv)) > 0
+
+
+def test_nonrecurrent_mappo_runs():
+    """algorithm 'mappo': no GRU, flat (chunk=1) minibatching."""
+    env_params = EnvParams(
+        cfg=vehicle_config("air_taxi"), num_agents=3, num_landmarks=3, episode_length=10
+    )
+    cfg = ModelConfig(
+        max_edge_dist=env_params.cfg.coordination_range, use_recurrent_policy=False
+    )
+    dims = PolicyDims(
+        obs_dim=env_params.obs_dim, cent_obs_dim=env_params.obs_dim * 3,
+        num_entities=env_params.num_entities, node_feat_dim=env_params.node_feat_dim,
+        num_actions=env_params.num_actions,
+    )
+    policy = GRMAPPOPolicy(cfg, dims)
+    trainer = GRMAPPOTrainer(policy, ppo_epoch=2, num_mini_batch=2, data_chunk_length=1)
+    runner = Runner(env_params=env_params, policy=policy, trainer=trainer,
+                    n_rollout_threads=4, episode_length=10)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    carry = runner.init_carry(jax.random.PRNGKey(1))
+    ts2, c2, info, _ = jax.jit(runner.train_episode)(ts, carry, jax.random.PRNGKey(2))
+    assert np.isfinite(float(info["value_loss"]))
+    assert np.isfinite(float(info["policy_loss"]))
