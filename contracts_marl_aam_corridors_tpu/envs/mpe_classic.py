@@ -174,3 +174,164 @@ class ClassicMPEEnv:
         self.step = jax.jit(partial(step, params))
         self.vec_reset = jax.jit(jax.vmap(partial(reset, params, dtype=dtype)))
         self.vec_step = jax.jit(jax.vmap(partial(step, params)))
+
+
+# ---------------------------------------------------------------------------
+# simple_tag: heterogeneous predator-prey (onpolicy/envs/mpe/scenarios/
+# simple_tag.py).  Adversaries are larger/slower (size .075, accel 3, max
+# speed 1.0), good agents smaller/faster (.05, 4, 1.3); landmarks are solid
+# obstacles (size .2, collide).  Rewards are per-agent (non-collaborative).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TagParams:
+    num_adversaries: int = 3
+    num_good: int = 1
+    num_landmarks: int = 2
+    episode_length: int = 25
+    dt: float = 0.1
+    damping: float = 0.25
+    contact_force: float = 1e2
+    contact_margin: float = 1e-3
+    landmark_size: float = 0.2
+
+    @property
+    def num_agents(self) -> int:
+        return self.num_adversaries + self.num_good
+
+    def sizes(self):
+        import numpy as _np
+
+        return _np.array(
+            [0.075] * self.num_adversaries + [0.05] * self.num_good
+        )
+
+    def accels(self):
+        import numpy as _np
+
+        return _np.array([3.0] * self.num_adversaries + [4.0] * self.num_good)
+
+    def max_speeds(self):
+        import numpy as _np
+
+        return _np.array([1.0] * self.num_adversaries + [1.3] * self.num_good)
+
+    @property
+    def obs_dim(self) -> int:
+        # padded to the max per-agent dim: [vel, pos, rel landmarks,
+        # rel others, other_vel of good others] — adversaries see num_good
+        # velocity slots, good agents see num_good-1
+        return 4 + 2 * self.num_landmarks + 2 * (self.num_agents - 1) + 2 * self.num_good
+
+
+def tag_reset(params: TagParams, key: Array, dtype=jnp.float32) -> MPEState:
+    key, ka, kl = jax.random.split(key, 3)
+    return MPEState(
+        agent_pos=jax.random.uniform(ka, (params.num_agents, 2), dtype, -1.0, 1.0),
+        agent_vel=jnp.zeros((params.num_agents, 2), dtype),
+        landmark_pos=0.8 * jax.random.uniform(kl, (params.num_landmarks, 2), dtype, -1.0, 1.0),
+        t=jnp.zeros((), jnp.int32),
+        key=key,
+    )
+
+
+def _tag_forces(params: TagParams, pos: Array, lm: Array, dtype) -> Array:
+    """Agent-agent and agent-landmark softmax-penetration forces."""
+    n = params.num_agents
+    sizes = jnp.asarray(params.sizes(), dtype)
+    k = params.contact_margin
+
+    dvec = pos[:, None, :] - pos[None, :, :]
+    dist = jnp.where(jnp.eye(n, dtype=bool), 1.0, jnp.linalg.norm(dvec, axis=-1))
+    dmin = sizes[:, None] + sizes[None, :]
+    pen = jnp.logaddexp(0.0, -(dist - dmin) / k) * k
+    f = params.contact_force * dvec / dist[..., None] * pen[..., None]
+    f = jnp.where(jnp.eye(n, dtype=bool)[..., None], 0.0, f)
+    force = f.sum(axis=1)
+
+    dvec_l = pos[:, None, :] - lm[None, :, :]
+    dist_l = jnp.maximum(jnp.linalg.norm(dvec_l, axis=-1), 1e-9)
+    dmin_l = sizes[:, None] + params.landmark_size
+    pen_l = jnp.logaddexp(0.0, -(dist_l - dmin_l) / k) * k
+    force += (params.contact_force * dvec_l / dist_l[..., None] * pen_l[..., None]).sum(axis=1)
+    return force
+
+
+def tag_observations(params: TagParams, state: MPEState) -> Array:
+    """Per-agent obs zero-padded to a common width (the reference emits
+    ragged per-agent arrays; upstream tag training uses separated policies)."""
+    n, na = params.num_agents, params.num_adversaries
+    dtype = state.agent_pos.dtype
+    rel_lm = (state.landmark_pos[None] - state.agent_pos[:, None]).reshape(n, -1)
+    rows = []
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        rel_o = jnp.concatenate([state.agent_pos[j] - state.agent_pos[i] for j in others])
+        good_vels = [state.agent_vel[j] for j in others if j >= na]
+        ov = jnp.concatenate(good_vels) if good_vels else jnp.zeros((0,), dtype)
+        row = jnp.concatenate([state.agent_vel[i], state.agent_pos[i], rel_lm[i], rel_o, ov])
+        pad = params.obs_dim - row.shape[0]
+        rows.append(jnp.pad(row, (0, pad)))
+    return jnp.stack(rows)
+
+
+def tag_rewards(params: TagParams, state: MPEState) -> Array:
+    """simple_tag.reward:60-97: good agents -10 per adversary contact plus an
+    escape-the-arena bound penalty; every adversary +10 per colliding
+    (good, adversary) pair."""
+    n, na = params.num_agents, params.num_adversaries
+    dtype = state.agent_pos.dtype
+    sizes = jnp.asarray(params.sizes(), dtype)
+    d = jnp.linalg.norm(state.agent_pos[:, None] - state.agent_pos[None, :], axis=-1)
+    coll = (d < sizes[:, None] + sizes[None, :]) & ~jnp.eye(n, dtype=bool)
+    adv = jnp.arange(n) < na
+    pair_coll = coll & adv[:, None] & ~adv[None, :]  # [adversary, good]
+    total_pairs = jnp.sum(pair_coll).astype(dtype)
+
+    good_hits = jnp.sum(pair_coll, axis=0).astype(dtype)  # per good agent
+
+    x = jnp.abs(state.agent_pos)
+    bound = jnp.where(
+        x < 0.9, 0.0, jnp.where(x < 1.0, (x - 0.9) * 10.0, jnp.minimum(jnp.exp(2 * x - 2), 10.0))
+    ).sum(axis=-1)
+
+    rew_good = -10.0 * good_hits - bound
+    rew_adv = jnp.broadcast_to(10.0 * total_pairs, (n,))
+    return jnp.where(adv, rew_adv, rew_good)
+
+
+def tag_step(params: TagParams, state: MPEState, action_idx: Array):
+    dtype = state.agent_pos.dtype
+    accel = jnp.asarray(params.accels(), dtype)
+    max_speed = jnp.asarray(params.max_speeds(), dtype)
+    # the reference applies accel TWICE: as the action 'sensitivity'
+    # (environment.py _set_action) and again as mass*accel in
+    # apply_action_force (core.py:207-214) — force = accel^2 * u
+    u = jnp.take(_ACTION_TABLE.astype(dtype), action_idx, axis=0) * (accel**2)[:, None]
+    force = u + _tag_forces(params, state.agent_pos, state.landmark_pos, dtype)
+    vel = state.agent_vel * (1 - params.damping) + force * params.dt
+    speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+    vel = jnp.where(
+        speed > max_speed[:, None],
+        vel / jnp.maximum(speed, 1e-12) * max_speed[:, None],
+        vel,
+    )
+    pos = state.agent_pos + vel * params.dt
+    t_new = state.t + 1
+    state = state.replace(agent_pos=pos, agent_vel=vel, t=t_new)
+
+    obs = tag_observations(params, state)
+    rew = tag_rewards(params, state)
+    done = jnp.broadcast_to(t_new >= params.episode_length, (params.num_agents,))
+
+    key, rkey = jax.random.split(state.key)
+    fresh = tag_reset(params, rkey, dtype)
+    all_done = jnp.all(done)
+    state = jax.tree.map(
+        lambda f, s: jnp.where(jnp.reshape(all_done, (1,) * f.ndim), f, s),
+        fresh,
+        state.replace(key=key),
+    )
+    obs = jnp.where(all_done, tag_observations(params, fresh), obs)
+    return state, (obs, rew, done)

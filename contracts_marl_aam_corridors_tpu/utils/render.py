@@ -88,3 +88,12 @@ def save_gif(frames: List, path: str, fps: float = 10.0):
         duration=int(1000 / fps),
         loop=0,
     )
+
+
+def read_gif(path: str):
+    """GIF -> list of RGB numpy frames (replaces the reference's imageio-based
+    ``read_gif.py`` analysis script)."""
+    from PIL import Image, ImageSequence
+
+    with Image.open(path) as im:
+        return [np.asarray(f.convert("RGB")).copy() for f in ImageSequence.Iterator(im)]

@@ -101,3 +101,63 @@ def test_vec_env_runs():
     assert obs.shape == (8, 3, params.obs_dim)
     assert np.isfinite(np.asarray(rew)).all()
     assert int(state.t[0]) <= params.episode_length
+
+
+def test_simple_tag_parity():
+    """Golden parity for the heterogeneous predator-prey scenario."""
+    import argparse
+
+    n_adv, n_good, n_lm, T = 3, 1, 2, 25
+    args = argparse.Namespace(
+        scenario_name="simple_tag", num_adversaries=n_adv,
+        num_good_agents=n_good, num_landmarks=n_lm, episode_length=T,
+    )
+    ref_oracle._install_shims()
+    if ref_oracle.REF not in sys.path:
+        sys.path.insert(0, ref_oracle.REF)
+    import importlib
+
+    scen_mod = importlib.import_module("onpolicy.envs.mpe.scenarios.simple_tag")
+    env_mod_ref = importlib.import_module("onpolicy.envs.mpe.environment")
+    np.random.seed(7)
+    sc = scen_mod.Scenario()
+    world = sc.make_world(args)
+    env = env_mod_ref.MultiAgentEnv(world, sc.reset_world, sc.reward, sc.observation)
+    ref_obs = env.reset()
+
+    np.random.seed(7)
+    n = n_adv + n_good
+    def np_reset():
+        ap = np.stack([np.random.uniform(-1, 1, 2) for _ in range(n)])
+        lp = np.stack([0.8 * np.random.uniform(-1, 1, 2) for _ in range(n_lm)])
+        return ap, lp
+    np_reset()
+    ap, lp = np_reset()
+    params = mc.TagParams(num_adversaries=n_adv, num_good=n_good,
+                          num_landmarks=n_lm, episode_length=T)
+    state = mc.MPEState(
+        agent_pos=jnp.asarray(ap), agent_vel=jnp.zeros((n, 2)),
+        landmark_pos=jnp.asarray(lp), t=jnp.zeros((), jnp.int32),
+        key=jax.random.PRNGKey(0),
+    )
+    obs0 = np.asarray(mc.tag_observations(params, state))
+    for i in range(n):
+        ref_row = np.asarray(ref_obs[i])
+        np.testing.assert_allclose(obs0[i, : len(ref_row)], ref_row, atol=1e-12)
+
+    step_j = jax.jit(lambda s, a: mc.tag_step(params, s, a))
+    rng = np.random.RandomState(8)
+    for t in range(T - 1):
+        acts = rng.randint(0, 5, n)
+        robs, rrew, rdone, rinfo = env.step([np.eye(5)[a] for a in acts])
+        state, (obs, rew, done) = step_j(state, jnp.asarray(acts))
+        for i in range(n):
+            ref_row = np.asarray(robs[i])
+            np.testing.assert_allclose(
+                np.asarray(obs)[i, : len(ref_row)], ref_row, atol=1e-9,
+                err_msg=f"obs agent {i} step {t}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(rew), np.array(rrew, dtype=np.float64).reshape(-1),
+            atol=1e-9, err_msg=f"reward step {t}",
+        )
