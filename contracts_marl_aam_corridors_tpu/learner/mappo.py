@@ -242,6 +242,22 @@ class GRMAPPOTrainer:
         stacked = tuple(chunks[k] for k in order)
         head_keys = {"h_actor", "h_critic"}
 
+        if self.num_mini_batch == 1:
+            # fast path: a single minibatch is the whole batch — shuffling has
+            # no effect on the update, so skip the per-epoch permutation
+            # gather and build the time-major tensors ONCE
+            batch = tuple(
+                arr if k in head_keys else jnp.swapaxes(arr, 0, 1)
+                for k, arr in zip(order, stacked)
+            )
+
+            def epoch_body(ts, _):
+                ts, info = self._minibatch_update(ts, batch)
+                return ts, info
+
+            ts, infos = jax.lax.scan(epoch_body, ts, None, length=self.ppo_epoch)
+            return ts, jax.tree.map(jnp.mean, infos)
+
         def epoch_body(carry, epoch_key):
             ts = carry
             perm = jax.random.permutation(epoch_key, S)[: mb_size * self.num_mini_batch]
