@@ -67,3 +67,23 @@ def test_wall_collision_penalized():
     # the on-wall variant carries the -3*collision_rew obstacle term; the
     # other reward terms differ by position, so compare against a generous gap
     assert float(ts_on.reward[0]) < float(ts_off.reward[0])
+
+
+def test_baseline_config2_shape():
+    """BASELINE config 2: nav_metered 5 agents + 3 obstacles, 256 vmapped
+    envs (the reference itself crashes with obstacles in graph scenarios —
+    july:1627-1648 masks an (N+L)-sized array into an (N+L+O) adjacency)."""
+    cfg = vehicle_config("air_taxi")
+    params = EnvParams(
+        cfg=cfg, num_agents=5, num_landmarks=5, num_obstacles=3,
+        episode_length=10, world_size=4.0,
+    )
+    assert params.num_entities == 13
+    e = env_mod.CorridorEnv(params, dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    state, ts = e.vec_reset(keys)
+    assert ts.node_obs.shape == (256, 5, 13, 8)
+    for _ in range(3):
+        state, ts = e.vec_step(state, jnp.zeros((256, 5), jnp.int32))
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    assert np.isfinite(np.asarray(ts.obs)).all()
