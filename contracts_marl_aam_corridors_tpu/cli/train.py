@@ -145,7 +145,19 @@ def main(argv=None):
         if args.use_linear_lr_decay:
             ts = policy.lr_decay(ts, episode, episodes)
         key, ekey = jax.random.split(key)
-        ts, carry, train_info, env_info = step_fn(ts, carry, ekey)
+        # the axon remote-compile helper fails transiently (HTTP 500 /
+        # SIGSEGV); retry the episode — compiles are cached, so a retry after
+        # a pause usually lands
+        for attempt in range(3):
+            try:
+                ts, carry, train_info, env_info = step_fn(ts, carry, ekey)
+                break
+            except Exception as e:  # pragma: no cover - backend flake
+                if attempt == 2 or "remote_compile" not in str(e):
+                    raise
+                print(f"episode {episode}: compile-service error, retrying "
+                      f"({attempt + 1}/3): {str(e)[:80]}", flush=True)
+                time.sleep(20)
 
         total_steps = (episode + 1) * args.episode_length * args.n_rollout_threads
         if episode % args.save_interval == 0 or episode == episodes - 1:

@@ -1,0 +1,59 @@
+"""Flag system tests (reference onpolicy/config.py semantics)."""
+from contracts_marl_aam_corridors_tpu.config.flags import (
+    build_env_params,
+    build_model_config,
+    parse_all,
+    scenario_kind,
+)
+
+
+def test_defaults_match_reference():
+    args = parse_all([])
+    # store_false idioms: flags default ON
+    assert args.use_ReLU and args.use_valuenorm and args.use_recurrent_policy
+    assert args.use_wandb  # reference: wandb on unless --use_wandb passed
+    assert args.hidden_size == 64 and args.layer_N == 1
+    assert args.gnn_hidden_size == 16 and args.gnn_num_heads == 3
+    assert args.ppo_epoch == 15 and args.clip_param == 0.2
+    assert args.huber_delta == 10.0 and args.max_grad_norm == 10.0
+    args2 = parse_all(["--use_ReLU", "--use_wandb"])
+    assert not args2.use_ReLU and not args2.use_wandb
+
+
+def test_auto_mini_batch():
+    args = parse_all(
+        ["--auto_mini_batch_size", "--target_mini_batch_size", "32",
+         "--n_rollout_threads", "64", "--episode_length", "25", "--num_agents", "3"]
+    )
+    # config.py:472-483: threads*ep_len*agents / target
+    assert args.num_mini_batch == 64 * 25 * 3 // 32
+
+
+def test_scenario_kind_mapping():
+    assert scenario_kind("nav_metered_one_goal_graph_rotate_tube_july") == "rotate_tube_july"
+    assert scenario_kind("nav_metered_one_goal_graph_rotate_tube_v4oct") == "rotate_tube_july"
+    assert scenario_kind("nav_graph_metered_single_corridor_rot_inv") == "rot_inv"
+    assert scenario_kind("two_phase_graph") == "two_phase"
+    assert scenario_kind("old_two_graph") == "two_phase"
+    assert scenario_kind("three_phase_graph") == "three_phase"
+    assert scenario_kind("nav_metered_one_goal_graph_sequential") == "sequential"
+    assert scenario_kind("nav_metered_one_goal_graph_sequential_random") == "sequential_random"
+    assert scenario_kind("nav_metered_one_goal_graph_sequential_split_tube") == "sequential_split"
+    assert scenario_kind("nav_fairassign_fairrew_formation_graph_rotate_tube") == "fairassign"
+
+
+def test_build_env_and_model():
+    args = parse_all(
+        ["--dynamics_type", "air_taxi", "--num_agents", "4", "--num_landmarks", "4",
+         "--episode_length", "50", "--goal_rew", "20", "--collision_rew", "30"]
+    )
+    params = build_env_params(args)
+    assert params.num_agents == 4 and params.episode_length == 50
+    assert params.goal_rew == 20 and params.collision_rew == 30
+    # make_world overwrites max_edge_dist with the coordination range
+    assert abs(args.max_edge_dist - params.cfg.coordination_range) < 1e-9
+    cfg = build_model_config(args)
+    assert cfg.max_edge_dist == args.max_edge_dist
+    assert cfg.use_recurrent_policy  # rmappo default
+    args_m = parse_all(["--algorithm_name", "mappo"])
+    assert not build_model_config(args_m).use_recurrent_policy
