@@ -57,3 +57,33 @@ def test_build_env_and_model():
     assert cfg.use_recurrent_policy  # rmappo default
     args_m = parse_all(["--algorithm_name", "mappo"])
     assert not build_model_config(args_m).use_recurrent_policy
+
+
+def test_circumcenter_matches_reference():
+    import sys
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/reference")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("cc", "/root/reference/check_circumcenter.py")
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    from contracts_marl_aam_corridors_tpu.utils.geometry import (
+        circumcenter, circumcenter_reward,
+    )
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(20, 3, 2)
+    target = np.array([0.3, -0.2])
+    for tri in pts:
+        want = cc.compute_circumcenter(tuple(tri[0]), tuple(tri[1]), tuple(tri[2]))
+        got, valid = circumcenter(jnp.asarray(tri[0]), jnp.asarray(tri[1]), jnp.asarray(tri[2]))
+        rwant = cc.reward_function(want, tuple(target))
+        rgot = float(circumcenter_reward(got, valid, jnp.asarray(target)))
+        if want is None:
+            assert not bool(valid)
+            assert rgot == -100
+        else:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
+            np.testing.assert_allclose(rgot, rwant, rtol=1e-6)
