@@ -78,10 +78,137 @@ def build(args):
     return env_params, policy, trainer, runner
 
 
+def build_mpe(args):
+    """Flat-obs classic-MPE path (reference train_mpe.py with env_name 'MPE'
+    -> MPEEnv + R_MAPPOPolicy): non-graph MLP policy over a vectorized
+    scenario kernel, same jitted trainer."""
+    import dataclasses as _dc
+
+    from ..config.flags import build_model_config
+    from ..learner.mappo import GRMAPPOTrainer
+    from ..learner.mpe_runner import MPERunner, make_env
+    from ..models.mlp_policy import FlatPolicyDims, RMAPPOPolicy
+
+    cfg = build_model_config(args)
+    overrides = {}
+    from ..envs import mpe_classic as _mc
+    from ..envs import mpe_scenarios as _ms
+
+    params_cls = {
+        "simple_spread": _mc.MPEParams,
+        "simple_tag": _mc.TagParams,
+        **{k: v[0] for k, v in _ms.SCENARIOS.items()},
+    }[args.scenario_name]
+    fields = {f.name for f in _dc.fields(params_cls)}
+    for name in ("num_agents", "num_landmarks", "episode_length"):
+        if name in fields:
+            overrides[name] = getattr(args, name)
+    env, nvec = make_env(args.scenario_name, **overrides)
+    dims = FlatPolicyDims(
+        obs_dim=env.params.obs_dim,
+        cent_obs_dim=env.params.obs_dim * env.params.num_agents,
+        action_nvec=nvec,
+    )
+    policy = RMAPPOPolicy(
+        cfg, dims, lr=args.lr, critic_lr=args.critic_lr, opti_eps=args.opti_eps,
+        max_grad_norm=args.max_grad_norm, use_max_grad_norm=args.use_max_grad_norm,
+        use_linear_lr_decay=args.use_linear_lr_decay,
+    )
+    chunk = args.data_chunk_length if cfg.use_recurrent_policy else 1
+    trainer = GRMAPPOTrainer(
+        policy,
+        clip_param=args.clip_param, ppo_epoch=args.ppo_epoch,
+        num_mini_batch=args.num_mini_batch, data_chunk_length=chunk,
+        value_loss_coef=args.value_loss_coef, entropy_coef=args.entropy_coef,
+        huber_delta=args.huber_delta, gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        use_clipped_value_loss=args.use_clipped_value_loss,
+        use_huber_loss=args.use_huber_loss,
+        use_valuenorm=args.use_valuenorm and not args.use_popart,
+        use_popart=args.use_popart,
+        use_value_active_masks=args.use_value_active_masks,
+        use_policy_active_masks=args.use_policy_active_masks,
+    )
+    if not args.share_policy:
+        # separated per-agent policies (reference runner/separated/*):
+        # params stacked on an agent axis, trained via vmap
+        from ..learner.separated import SeparatedMPERunner, SeparatedTrainer
+
+        trainer = SeparatedTrainer(base=trainer, num_agents=env.params.num_agents)
+        runner = SeparatedMPERunner(
+            env=env, policy=policy, trainer=trainer,
+            n_rollout_threads=args.n_rollout_threads,
+            episode_length=args.episode_length,
+            use_centralized_v=args.use_centralized_V,
+        )
+        return policy, trainer, runner
+    runner = MPERunner(
+        env=env, policy=policy, trainer=trainer,
+        n_rollout_threads=args.n_rollout_threads,
+        episode_length=args.episode_length,
+        use_centralized_v=args.use_centralized_V,
+    )
+    return policy, trainer, runner
+
+
+def main_mpe(args):
+    import jax
+
+    from ..utils.checkpoint import save_checkpoint
+    from ..utils.logging import MetricsLogger, print_box
+
+    policy, trainer, runner = build_mpe(args)
+    run_dir = os.path.join(
+        args.run_dir, "MPE", args.scenario_name, args.algorithm_name,
+        args.experiment_name, f"seed{args.seed}",
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    save_dir = os.path.join(run_dir, "models")
+    os.makedirs(save_dir, exist_ok=True)
+    logger = MetricsLogger(run_dir, use_wandb=args.use_wandb, config=vars(args))
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init, k_carry = jax.random.split(key, 3)
+    ts = trainer.init_state(k_init)
+    carry = runner.init_carry(k_carry)
+    step_fn = jax.jit(runner.train_episode)
+    episodes = int(args.num_env_steps) // args.episode_length // args.n_rollout_threads
+    print_box(
+        f"MPE {args.scenario_name} | {runner.num_agents} agents | "
+        f"{args.n_rollout_threads} envs | {episodes} episodes"
+    )
+    start = time.time()
+    for episode in range(episodes):
+        if args.use_linear_lr_decay:
+            ts = policy.lr_decay(ts, episode, episodes)
+        key, ekey = jax.random.split(key)
+        ts, carry, train_info = step_fn(ts, carry, ekey)
+        total_steps = (episode + 1) * args.episode_length * args.n_rollout_threads
+        if episode % args.save_interval == 0 or episode == episodes - 1:
+            save_checkpoint(save_dir, ts, episode, config=vars(args))
+        if episode % args.log_interval == 0:
+            info = {k: float(np.asarray(v)) for k, v in train_info.items()}
+            sps = total_steps / max(time.time() - start, 1e-9)
+            info["env_steps_per_sec"] = sps
+            logger.log(info, total_steps)
+            print(
+                f"ep {episode}/{episodes} steps {total_steps} "
+                f"rew {info.get('average_episode_rewards', float('nan')):.3f} "
+                f"sps {sps:,.0f}",
+                flush=True,
+            )
+    save_checkpoint(save_dir, ts, episodes - 1 if episodes else 0, config=vars(args))
+    print(f"[FINAL SAVE] checkpoints at: {save_dir}")
+    logger.close()
+    return run_dir
+
+
 def main(argv=None):
     from ..config.flags import parse_all
 
     args = parse_all(argv)
+    if args.env_name == "MPE" or args.scenario_name.startswith("simple_"):
+        return main_mpe(args)
     import jax
 
     from ..parallel import DistributedRunner, make_mesh

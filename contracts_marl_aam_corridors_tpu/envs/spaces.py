@@ -61,3 +61,28 @@ def all_spaces(params: EnvParams) -> dict:
         "edge_observation_space": [edge_space(params)] * params.num_agents,
         "agent_id_observation_space": [agent_id_space(params)] * params.num_agents,
     }
+
+
+def mpe_spaces(params) -> dict:
+    """Spaces for the classic-MPE scenario kernels (vendored
+    environment.py:55-109): Discrete movement and/or comm components,
+    simplified to MultiDiscrete when an agent both moves and speaks
+    (environment.py:85-96).  ``params`` is any mpe_classic/mpe_scenarios
+    params dataclass exposing ``action_nvec`` and ``obs_dim``."""
+    import gymnasium as gym
+
+    nvec = tuple(getattr(params, "action_nvec", (5,)))
+    if len(nvec) == 1:
+        act = gym.spaces.Discrete(nvec[0])
+    else:
+        act = gym.spaces.MultiDiscrete(np.asarray(nvec, dtype=np.int64))
+    obs = gym.spaces.Box(-np.inf, np.inf, shape=(params.obs_dim,), dtype=np.float32)
+    n = params.num_agents
+    share = gym.spaces.Box(
+        -np.inf, np.inf, shape=(params.obs_dim * n,), dtype=np.float32
+    )
+    return {
+        "action_space": [act] * n,
+        "observation_space": [obs] * n,
+        "share_observation_space": [share] * n,
+    }

@@ -139,21 +139,43 @@ class GRCritic(nn.Module):
 class MLPActor(nn.Module):
     """Non-graph actor (reference ``R_Actor``, onpolicy/algorithms/
     actor_critic.py): obs -> MLPBase -> GRU -> categorical logits.  Used for
-    the classic flat-obs MPE path (env_name 'MPE')."""
+    the classic flat-obs MPE path (env_name 'MPE').
+
+    ``action_nvec`` with K>1 entries builds the reference ACTLayer's
+    MultiDiscrete branch (act.py:44-51): K categorical heads whose logits are
+    concatenated; sampling/log-probs are per-head (see
+    distributions.md_sample/md_log_probs).  With a single entry this is the
+    plain Discrete head incl. available-action masking.
+    Same trunk/head split as GRActor so BPTT scans only the GRU."""
 
     cfg: ModelConfig
-    num_actions: int
+    action_nvec: tuple = (5,)
 
-    @nn.compact
-    def __call__(self, obs, rnn_states, masks, available_actions=None):
+    def setup(self):
         cfg = self.cfg
-        x = MLPBase(cfg, name="base")(obs)
+        self.base = MLPBase(cfg, name="base")
         if cfg.use_recurrent_policy:
-            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
-        logits = nn.Dense(
-            self.num_actions, kernel_init=dense_init(cfg, cfg.gain), name="action_out"
-        )(x)
-        return dist.mask_logits(logits, available_actions), rnn_states
+            self.rnn = RNNLayer(cfg, name="rnn")
+        self.action_out = nn.Dense(
+            sum(self.action_nvec), kernel_init=dense_init(cfg, cfg.gain),
+            name="action_out",
+        )
+
+    def trunk(self, obs: Array) -> Array:
+        return self.base(obs)
+
+    def head(self, features: Array, rnn_states: Array, masks: Array,
+             available_actions: Optional[Array] = None):
+        x = features
+        if self.cfg.use_recurrent_policy:
+            x, rnn_states = self.rnn(x, rnn_states, masks)
+        logits = self.action_out(x)
+        if len(self.action_nvec) == 1:
+            logits = dist.mask_logits(logits, available_actions)
+        return logits, rnn_states
+
+    def __call__(self, obs, rnn_states, masks, available_actions=None):
+        return self.head(self.trunk(obs), rnn_states, masks, available_actions)
 
 
 class MLPCritic(nn.Module):
@@ -161,11 +183,21 @@ class MLPCritic(nn.Module):
 
     cfg: ModelConfig
 
-    @nn.compact
-    def __call__(self, cent_obs, rnn_states, masks):
+    def setup(self):
         cfg = self.cfg
-        x = MLPBase(cfg, name="base")(cent_obs)
+        self.base = MLPBase(cfg, name="base")
         if cfg.use_recurrent_policy:
-            x, rnn_states = RNNLayer(cfg, name="rnn")(x, rnn_states, masks)
-        values = nn.Dense(1, kernel_init=dense_init(cfg, 1.0), name="v_out")(x)
-        return values, rnn_states
+            self.rnn = RNNLayer(cfg, name="rnn")
+        self.v_out = nn.Dense(1, kernel_init=dense_init(cfg, 1.0), name="v_out")
+
+    def trunk(self, cent_obs: Array) -> Array:
+        return self.base(cent_obs)
+
+    def head(self, features: Array, rnn_states: Array, masks: Array):
+        x = features
+        if self.cfg.use_recurrent_policy:
+            x, rnn_states = self.rnn(x, rnn_states, masks)
+        return self.v_out(x), rnn_states
+
+    def __call__(self, cent_obs, rnn_states, masks):
+        return self.head(self.trunk(cent_obs), rnn_states, masks)

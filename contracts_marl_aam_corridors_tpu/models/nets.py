@@ -305,3 +305,32 @@ class GNNBase(nn.Module):
             if cfg.global_aggr_type == "add":
                 return x.sum(axis=0)
         raise ValueError(f"bad graph_aggr {self.graph_aggr}")
+
+
+class CNNBase(nn.Module):
+    """Image-observation trunk (reference ``CNNBase``/``CNNLayer``,
+    onpolicy/algorithms/utils/cnn.py:14-91; unused by the MPE configs but part
+    of the actor/critic API surface): x/255 -> Conv(C -> hidden/2, k3, s1,
+    VALID) -> act -> flatten -> Dense(hidden) -> act -> Dense(hidden) -> act.
+    Input is NHWC (JAX convention; the reference is NCHW)."""
+
+    cfg: ModelConfig
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        act = nn.relu if cfg.use_relu else nn.tanh
+        gain = RELU_GAIN if cfg.use_relu else TANH_GAIN
+        init = dense_init(cfg, gain)
+        x = x / 255.0
+        x = act(nn.Conv(
+            cfg.hidden_size // 2, (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride), padding="VALID",
+            kernel_init=init, name="conv",
+        )(x))
+        x = x.reshape((x.shape[0], -1))
+        x = act(nn.Dense(cfg.hidden_size, kernel_init=init, name="fc1")(x))
+        x = act(nn.Dense(cfg.hidden_size, kernel_init=init, name="fc2")(x))
+        return x

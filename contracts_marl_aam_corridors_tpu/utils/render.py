@@ -97,3 +97,20 @@ def read_gif(path: str):
 
     with Image.open(path) as im:
         return [np.asarray(f.convert("RGB")).copy() for f in ImageSequence.Iterator(im)]
+
+
+def tile_images(img_nhwc):
+    """Tile N images into one near-square grid (reference ``tile_images``,
+    onpolicy/utils/util.py:55-73), used to compose multi-env render frames."""
+    import numpy as np
+
+    img_nhwc = np.asarray(img_nhwc)
+    N, h, w, c = img_nhwc.shape
+    H = int(np.ceil(np.sqrt(N)))
+    W = int(np.ceil(float(N) / H))
+    img_nhwc = np.array(list(img_nhwc) + [img_nhwc[0] * 0 for _ in range(N, H * W)])
+    return (
+        img_nhwc.reshape(H, W, h, w, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(H * h, W * w, c)
+    )
