@@ -117,6 +117,92 @@ def run_eval(args, ts_params, policy, runner, env_params, episodes: int,
     return rows
 
 
+def run_eval_mpe(args):
+    """Classic flat-obs MPE evaluation: restore an orbax checkpoint trained
+    by the MPE path, run deterministic episodes on one env, optionally render
+    GIFs (reference separated/shared MPERunner render loops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.checkpoint import restore_checkpoint
+    from ..utils.render import render_mpe_frame, save_gif
+    from .train import build_mpe
+
+    policy, trainer, runner = build_mpe(args)
+    ts = trainer.init_state(jax.random.PRNGKey(args.seed))
+    ts, _ = restore_checkpoint(args.model_dir, ts)
+    print(f"restored orbax checkpoint from {args.model_dir}")
+
+    env = runner.env
+    N = env.params.num_agents
+    K = policy.dims.action_dim
+    separated = hasattr(trainer, "base")
+    key = jax.random.PRNGKey(args.seed + 1)
+    gif_dir = (
+        os.path.join(args.run_dir, "gifs")
+        if (args.use_render and args.save_gifs) else None
+    )
+
+    sizes = getattr(env.params, "sizes", lambda: None)()
+    adv_mask = None
+    if hasattr(env.params, "num_adversaries"):
+        adv_mask = np.arange(N) < env.params.num_adversaries
+
+    def act1(params, obs, h, m):
+        return policy.act(
+            params, jax.random.PRNGKey(0), obs,
+            rnn_states_actor=h, masks=m, deterministic=True,
+        )
+
+    if separated:
+        act_j = jax.jit(jax.vmap(act1, in_axes=(0, 0, 0, 0)))
+    else:
+        act_j = jax.jit(act1)
+    rows = []
+    for ep in range(args.render_episodes):
+        key, rkey = jax.random.split(key)
+        state = env.vec_reset(jax.random.split(rkey, 1))  # batch of one env
+        obs = np.asarray(env.observations(state))[0]
+        h = jnp.zeros((N, policy.cfg.recurrent_n, policy.cfg.hidden_size))
+        masks = jnp.ones((N, 1))
+        frames = []
+        ep_rew = 0.0
+        for t in range(env.params.episode_length):
+            if separated:
+                actions, h = act_j(
+                    ts.params, jnp.asarray(obs)[:, None], h[:, None], masks[:, None]
+                )
+                actions = actions[:, 0]
+                h = h[:, 0]
+            else:
+                actions, h = act_j(ts.params, jnp.asarray(obs), h, masks)
+            env_actions = actions[..., 0] if K == 1 else actions
+            state, (obs_b, rew, done) = env.vec_step(state, env_actions[None])
+            obs = np.asarray(obs_b)[0]
+            ep_rew += float(np.asarray(rew).mean())
+            if gif_dir is not None:
+                st = jax.tree.map(lambda x: np.asarray(x)[0], state)
+                frames.append(render_mpe_frame(
+                    st.agent_pos, st.landmark_pos, agent_sizes=sizes,
+                    world_size=1.5, adversary_mask=adv_mask,
+                ))
+            if bool(np.asarray(done).all()):
+                break
+        rows.append({"episode": ep, "ep_rew": ep_rew})
+        print(f"[eval ep {ep}] rew {ep_rew:.2f}")
+        if gif_dir is not None and frames:
+            os.makedirs(gif_dir, exist_ok=True)
+            save_gif(frames, os.path.join(gif_dir, f"mpe_episode_{ep}.gif"))
+    out_csv = os.path.join(args.run_dir, "eval_stats.csv")
+    os.makedirs(args.run_dir, exist_ok=True)
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"eval done: {len(rows)} episodes; stats -> {out_csv}")
+    return rows
+
+
 def main(argv=None):
     from ..config.flags import parse_all
     from .train import build
@@ -139,6 +225,9 @@ def main(argv=None):
         cfg_dir = os.path.dirname(cfg_dir)
     if os.path.exists(os.path.join(cfg_dir, "config.yaml")):
         args = merge_eval_args(args, load_run_config(cfg_dir))
+
+    if args.env_name == "MPE" or args.scenario_name.startswith("simple_"):
+        return run_eval_mpe(args)
 
     # deterministic evaluation runs in full precision regardless of the
     # training-time compute dtype

@@ -256,6 +256,21 @@ def main(argv=None):
         f"{args.n_rollout_threads} envs x {len(devices)} device(s) | {episodes} episodes"
     )
 
+    base_rews = (args.collision_rew, args.formation_rew, args.fair_rew)
+    cur_stage = -1
+
+    def rebuild():
+        # re-parameterized step function; on a mesh the wrapper must be
+        # re-initialized so its jitted step carries the right shardings
+        nonlocal step_fn, runner, ts, carry
+        _, _, _, runner = build(args)
+        if use_mesh:
+            dr = DistributedRunner(runner, make_mesh(devices))
+            ts, carry = dr.init(ts, carry)
+            step_fn = dr.train_episode
+        else:
+            step_fn = jax.jit(runner.train_episode)
+
     start = time.time()
     for episode in range(start_episode, episodes):
         # mid-training fairness bump (graph_mpe_runner.py:56-61): fair_rew=10
@@ -263,12 +278,21 @@ def main(argv=None):
         # a re-parameterized step function (one recompile).
         if args.increase_fairness and episode == episodes // 2:
             args.fair_rew = 10
-            env_params, policy2, trainer2, runner = build(args)
-            if use_mesh:
-                drunner = DistributedRunner(runner, make_mesh(devices))
-                step_fn = drunner.train_episode
-            else:
-                step_fn = jax.jit(runner.train_episode)
+            base_rews = (args.collision_rew, args.formation_rew, args.fair_rew)
+            rebuild()
+        # curriculum (reference update_curriculum, july:424-438 — commented
+        # out upstream): collision/formation/fair weights scale with training
+        # progress, staged in tenths to bound recompiles
+        if args.use_curriculum:
+            ratio = float(np.clip(episode / max(episodes, 1), 0.1, 1.0))
+            stage = int(ratio * 10)
+            if stage != cur_stage:
+                cur_stage = stage
+                s = stage / 10.0
+                args.collision_rew = base_rews[0] * s
+                args.formation_rew = base_rews[1] * s
+                args.fair_rew = base_rews[2] * s
+                rebuild()
         if args.use_linear_lr_decay:
             ts = policy.lr_decay(ts, episode, episodes)
         key, ekey = jax.random.split(key)

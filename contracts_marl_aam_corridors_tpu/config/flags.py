@@ -174,6 +174,13 @@ def scenario_config(parser: argparse.ArgumentParser):
     parser.add_argument("--max_speed", type=float, default=2)
     parser.add_argument("--collision_rew", type=float, default=5)
     parser.add_argument("--goal_rew", type=float, default=5)
+    parser.add_argument("--formation_rew", type=float, default=1.0)
+    # reference update_curriculum (july:424-438): scales collision/formation/
+    # fair rewards by clip(episode/episodes, 0.1, 1).  Its invocation is
+    # commented out upstream (july:418), so default OFF; when enabled here the
+    # schedule is applied in 10 stages (EnvParams is compile-time static, so
+    # each stage is one recompile rather than the reference's per-reset drift).
+    parser.add_argument("--use_curriculum", type=_bool, default=False)
     parser.add_argument("--min_dist_thresh", type=float, default=0.05)
     parser.add_argument("--use_dones", type=_bool, default=False)
     parser.add_argument("--total_actions", type=int, default=5)
@@ -226,6 +233,7 @@ def build_env_params(args):
         collision_rew=args.collision_rew,
         goal_rew=args.goal_rew,
         fair_rew=args.fair_rew,
+        formation_rew=args.formation_rew,
         max_speed=args.max_speed,
         formation_type=args.formation_type,
         use_dones=args.use_dones,

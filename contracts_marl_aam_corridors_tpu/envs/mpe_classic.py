@@ -48,6 +48,10 @@ class MPEParams:
     def num_actions(self) -> int:
         return 5
 
+    @property
+    def action_nvec(self):
+        return (5,)
+
 
 @struct.dataclass
 class MPEState:
@@ -216,6 +220,10 @@ class TagParams:
         import numpy as _np
 
         return _np.array([1.0] * self.num_adversaries + [1.3] * self.num_good)
+
+    @property
+    def action_nvec(self):
+        return (5,)
 
     @property
     def obs_dim(self) -> int:

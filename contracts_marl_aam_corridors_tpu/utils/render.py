@@ -114,3 +114,47 @@ def tile_images(img_nhwc):
         .transpose(0, 2, 1, 3, 4)
         .reshape(H * h, W * w, c)
     )
+
+
+def render_mpe_frame(
+    agent_pos: np.ndarray,
+    landmark_pos: np.ndarray,
+    agent_sizes=None,
+    landmark_sizes=None,
+    world_size: float = 1.0,
+    size: int = 512,
+    adversary_mask=None,
+):
+    """Classic-MPE frame (reference vendored pyglet render,
+    onpolicy/envs/mpe/environment.py:300-430): filled circles for agents
+    (red = adversaries, blue = good) and gray circles for landmarks, in a
+    [-world_size, world_size]^2 viewport."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    agent_pos = np.atleast_2d(agent_pos)
+    landmark_pos = np.atleast_2d(landmark_pos)
+    n = len(agent_pos)
+    if agent_sizes is None:
+        agent_sizes = np.full((n,), 0.05)
+    if landmark_sizes is None:
+        landmark_sizes = np.full((len(landmark_pos),), 0.05)
+
+    def px(p):
+        return _to_px(p, world_size, size)
+
+    def circle(c, r_world, fill, outline):
+        cx, cy = px(c)
+        r = r_world / world_size * 0.5 * size
+        d.ellipse([cx - r, cy - r, cx + r, cy + r], fill=fill, outline=outline)
+
+    for lm, r in zip(landmark_pos, landmark_sizes):
+        circle(lm, r, (190, 190, 190), (120, 120, 120))
+    for i, (p, r) in enumerate(zip(agent_pos, agent_sizes)):
+        if adversary_mask is not None and bool(np.asarray(adversary_mask)[i]):
+            col = (214, 69, 65)
+        else:
+            col = AGENT_COLORS[i % len(AGENT_COLORS)]
+        circle(p, r, col, (40, 40, 40))
+    return img

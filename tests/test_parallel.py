@@ -67,3 +67,38 @@ def test_sharded_matches_single_device():
     a2 = jax.tree.leaves(ts2.params.actor)
     for x, y in zip(a1, a2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
+
+
+def test_mpe_flat_path_shards_on_mesh():
+    """The flat classic-MPE runner (non-graph policy) trains sharded on the
+    mesh and matches the single-device update."""
+    from contracts_marl_aam_corridors_tpu.learner.mpe_runner import MPERunner, make_env
+    from contracts_marl_aam_corridors_tpu.models.mlp_policy import (
+        FlatPolicyDims, RMAPPOPolicy,
+    )
+
+    env, nvec = make_env("simple_spread")
+    n = env.params.num_agents
+    policy = RMAPPOPolicy(
+        ModelConfig(),
+        FlatPolicyDims(obs_dim=env.params.obs_dim,
+                       cent_obs_dim=env.params.obs_dim * n, action_nvec=nvec),
+    )
+    trainer = GRMAPPOTrainer(policy, ppo_epoch=1, num_mini_batch=1, data_chunk_length=5)
+    runner = MPERunner(env=env, policy=policy, trainer=trainer,
+                       n_rollout_threads=8, episode_length=10)
+    ts0 = trainer.init_state(jax.random.PRNGKey(0))
+    carry0 = runner.init_carry(jax.random.PRNGKey(1))
+
+    ts1, _, info1 = jax.jit(runner.train_episode)(ts0, carry0, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(jax.devices()[:4])
+    drunner = DistributedRunner(runner, mesh)
+    tsr, carryr = drunner.init(ts0, carry0)
+    ts2, _, info2 = drunner.train_episode(tsr, carryr, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        float(info1["value_loss"]), float(info2["value_loss"]), rtol=1e-4
+    )
+    for x, y in zip(jax.tree.leaves(ts1.params.actor),
+                    jax.tree.leaves(ts2.params.actor)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
