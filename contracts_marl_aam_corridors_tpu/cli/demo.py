@@ -46,6 +46,51 @@ def heuristic_actions(params, state):
     return np.argmax(scores, axis=1)
 
 
+def main_mpe(args):
+    """Random-policy demo of a classic-MPE scenario (the vendored scenarios'
+    ``__main__`` harness role): roll one episode, save a GIF."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..learner.mpe_runner import make_env
+    from ..utils.render import render_mpe_frame, save_gif
+
+    env, nvec = make_env(args.scenario_name)
+    key = jax.random.PRNGKey(args.seed)
+    key, rkey = jax.random.split(key)
+    state = env.vec_reset(jax.random.split(rkey, 1))
+    n = env.params.num_agents
+    sizes = getattr(env.params, "sizes", lambda: None)()
+    adv_mask = (
+        np.arange(n) < env.params.num_adversaries
+        if hasattr(env.params, "num_adversaries") else None
+    )
+    frames = []
+    total = np.zeros(n)
+    for t in range(env.params.episode_length):
+        key, akey = jax.random.split(key)
+        acts = jnp.stack(
+            [jax.random.randint(akey, (1, n), 0, v) for v in (nvec * 2)[:2]],
+            axis=-1,
+        )
+        state, (obs, rew, done) = env.vec_step(
+            state, acts[..., 0] if len(nvec) == 1 else acts
+        )
+        total += np.asarray(rew)[0]
+        st = jax.tree.map(lambda x: np.asarray(x)[0], state)
+        frames.append(render_mpe_frame(
+            st.agent_pos, st.landmark_pos, agent_sizes=sizes, world_size=1.5,
+            adversary_mask=adv_mask,
+        ))
+        if bool(np.asarray(done).all()):
+            break
+    out = os.path.join(args.run_dir, f"demo_{args.scenario_name}.gif")
+    os.makedirs(args.run_dir, exist_ok=True)
+    save_gif(frames, out)
+    print(f"demo: {t+1} steps, per-agent return {np.round(total, 1)}, gif -> {out}")
+    return out
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -55,6 +100,8 @@ def main(argv=None):
     from ..utils.render import render_frame, save_gif
 
     args = parse_all(argv)
+    if args.env_name == "MPE" or args.scenario_name.startswith("simple_"):
+        return main_mpe(args)
     params = build_env_params(args)
     e = env_mod.CorridorEnv(params, dtype=jnp.float32)
     state, ts = e.reset(jax.random.PRNGKey(args.seed))
