@@ -1,0 +1,51 @@
+"""Small utility surfaces: CNNBase (reference cnn.py), tile_images
+(reference util.py:55-73), and classic-MPE gym spaces."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_cnn_base_shapes_and_scaling():
+    from contracts_marl_aam_corridors_tpu.models.config import ModelConfig
+    from contracts_marl_aam_corridors_tpu.models.nets import CNNBase
+
+    cfg = ModelConfig(hidden_size=64)
+    m = CNNBase(cfg)
+    x = jnp.full((2, 8, 8, 3), 255.0)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 64)
+    # input scaled /255 -> same output as feeding ones unscaled would give
+    out2 = m.apply(params, jnp.ones((2, 8, 8, 3)) * 255.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tile_images():
+    from contracts_marl_aam_corridors_tpu.utils.render import tile_images
+
+    imgs = np.arange(5 * 4 * 6 * 3, dtype=np.float32).reshape(5, 4, 6, 3)
+    tiled = tile_images(imgs)
+    # 5 images -> 3x2 grid of 4x6 tiles
+    assert tiled.shape == (12, 12, 3)
+    np.testing.assert_array_equal(tiled[:4, :6], imgs[0])
+    np.testing.assert_array_equal(tiled[4:8, :6], imgs[2])
+    # padding tile is zeros
+    np.testing.assert_array_equal(tiled[8:, 6:], np.zeros((4, 6, 3)))
+
+
+def test_mpe_spaces():
+    from contracts_marl_aam_corridors_tpu.envs import mpe_scenarios as ms
+    from contracts_marl_aam_corridors_tpu.envs.mpe_classic import MPEParams
+    from contracts_marl_aam_corridors_tpu.envs.spaces import mpe_spaces
+
+    sp = mpe_spaces(MPEParams())
+    assert sp["action_space"][0].n == 5
+    assert sp["observation_space"][0].shape == (MPEParams().obs_dim,)
+
+    ref = mpe_spaces(ms.ReferenceParams())
+    assert list(ref["action_space"][0].nvec) == [5, 10]
+    sl = mpe_spaces(ms.SpeakerListenerParams())
+    assert list(sl["action_space"][0].nvec) == [5, 3]
+    crypto = mpe_spaces(ms.CryptoParams())
+    assert crypto["action_space"][0].n == 4
