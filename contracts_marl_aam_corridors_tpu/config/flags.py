@@ -144,6 +144,10 @@ def graph_config(args, parser: argparse.ArgumentParser):
                         choices=["float32", "bfloat16"],
                         help="GNN/MLP trunk compute dtype (params stay f32); "
                         "bfloat16 is ~1.7x faster on TPU for training")
+    parser.add_argument("--gnn_edge_packed", type=_bool, default=False,
+                        help="lane-packed EmbedConv edge-MLP layout (see "
+                        "ModelConfig.gnn_edge_packed); same param tree, "
+                        "fp-tolerance numerics")
     all_args = parser.parse_known_args(args)[0]
 
     if all_args.auto_mini_batch_size:
@@ -290,4 +294,5 @@ def build_model_config(args):
         max_edge_dist=args.max_edge_dist,
         use_popart=args.use_popart,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        gnn_edge_packed=getattr(args, "gnn_edge_packed", False),
     )

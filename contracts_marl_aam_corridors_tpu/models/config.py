@@ -36,6 +36,14 @@ class ModelConfig:
     use_cent_obs: bool = False
     max_edge_dist: float = 1.0
     use_popart: bool = False
+    # Lane-packed EmbedConv edge-MLP layout: the (E,E,embed_hidden) message
+    # tensor becomes (E, E*embed_hidden).  MEASURED 0.96x vs dense on the
+    # actor trunk fwd+bwd (76.8K graphs, v5e) — XLA already handles the small
+    # minor dims well, so this is NOT an optimization; it is retained as a
+    # validated alternative layout (identical parameter tree, fp-tolerance
+    # numerics, 3x faster XLA compile) and as the measurement that closes the
+    # tile-padding hypothesis (BENCH_NOTES.md).  Default OFF.
+    gnn_edge_packed: bool = False
     # Computation dtype for the GNN/MLP trunk ("float32" or "bfloat16").
     # Params stay float32; bf16 halves the HBM traffic of the edge-feature
     # tensors that dominate the training step.  Outputs (and the GRU head)

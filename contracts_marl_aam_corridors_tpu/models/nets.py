@@ -150,6 +150,50 @@ def adjacency_mask(adj: Array, max_edge_dist: float):
     return mask, adj * mask
 
 
+class _LNParams(nn.Module):
+    """Parameter-tree mirror of ``nn.LayerNorm`` (names "scale"/"bias") for
+    layouts that apply the normalization manually."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Parameter-tree mirror of ``nn.Dense`` (names "kernel"/"bias")."""
+
+    in_dim: int
+    out_dim: int
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", self.kernel_init, (self.in_dim, self.out_dim), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32),
+        )
+
+
+def _group_ln(m: Array, groups: int, width: int, scale: Array, bias: Array) -> Array:
+    """LayerNorm over each ``width``-lane group of a (rows, groups*width)
+    tensor, with the reductions expressed as constant matmuls so the lane
+    dimension stays packed (no (.., groups, width) reshape)."""
+    dt = m.dtype
+    eye = jnp.eye(groups, dtype=dt)
+    g_mean = jnp.kron(eye, jnp.ones((width, 1), dt) / width)
+    g_bcast = jnp.kron(eye, jnp.ones((1, width), dt))
+    mu = (m @ g_mean) @ g_bcast
+    var = (((m - mu) ** 2) @ g_mean) @ g_bcast
+    return (m - mu) * jax.lax.rsqrt(var + LN_EPS) * jnp.tile(scale, (groups,)) + jnp.tile(
+        bias, (groups,)
+    )
+
+
 class EmbedConv(nn.Module):
     """Dense form of the reference's ``EmbedConv`` message-passing layer
     (gnn_new.py:21-145).
@@ -159,6 +203,17 @@ class EmbedConv(nn.Module):
     incoming messages (aggr='add').  There is NO self loop (the reference only
     adds them when edge_attr is None, gnn_new.py:112) and no root/skip term:
     an isolated node comes out all-zero.
+
+    Two layouts for the per-edge MLP, selected by ``cfg.gnn_edge_packed``:
+
+    - dense (default): the message tensor is (E_s, E_t, F).  Under vmap this
+      tiles (E_t, F)=(7,16) planes onto (8,128) TPU tiles at ~11% utilization
+      — the padded HBM traffic dominates the whole PPO update (BENCH_NOTES).
+    - packed: lanes hold the flattened (E_t, F) pair -> (E_s, E_t*F).  The
+      per-edge Dense becomes a block-diagonal ``kron(I_E, W)`` matmul and the
+      LayerNorm a group-LN via constant matmuls.  IDENTICAL parameter tree
+      (``_DenseParams``/``_LNParams`` mirror the flax names), so checkpoints
+      interoperate; outputs agree to fp tolerance (different reduction order).
     """
 
     cfg: ModelConfig
@@ -186,6 +241,28 @@ class EmbedConv(nn.Module):
         w_edge = self.param(
             "lin1_edge", dense_init(cfg, gain), (1, cfg.embed_hidden_size), jnp.float32
         )
+
+        if cfg.gnn_edge_packed:
+            Fh = cfg.embed_hidden_size
+            dt = h_src.dtype
+            # msg lanes: index t*Fh + f
+            h_tile = jnp.tile(h_src, (1, E))  # (E_s, E*Fh)
+            e_term = (edge_attr[:, :, None] * w_edge[0].astype(dt)).reshape(E, E * Fh)
+            m = act(h_tile + e_term)
+            s, b = _LNParams(Fh, name="ln1")()
+            m = _group_ln(m, E, Fh, s.astype(dt), b.astype(dt))
+            for i in range(cfg.embed_layer_n):
+                kern, bias = _DenseParams(
+                    Fh, Fh, dense_init(cfg, gain), name=f"lin{i+2}"
+                )()
+                w_blk = jnp.kron(jnp.eye(E, dtype=dt), kern.astype(dt))
+                m = act(m @ w_blk + jnp.tile(bias.astype(dt), (E,)))
+                s, b = _LNParams(Fh, name=f"ln{i+2}")()
+                m = _group_ln(m, E, Fh, s.astype(dt), b.astype(dt))
+            # aggregate over sources: out[t] = sum_s mask[s, t] * msg[s, t]
+            mm = jnp.repeat(edge_mask.astype(dt), Fh, axis=1)  # (E_s, E*Fh)
+            return (m * mm).sum(axis=0).reshape(E, Fh)
+
         msg = h_src[:, None, :] + edge_attr[:, :, None] * w_edge[0][None, None, :].astype(
             h_src.dtype
         )
