@@ -302,11 +302,20 @@ class TransformerConv(nn.Module):
         # PyG Linear default init: kaiming-ish 'glorot'; init only matters
         # before training, keep xavier for fresh params.
         cdt = compute_dtype(cfg)
+        # q/k/v projections fused into ONE matmul: concatenating the kernels
+        # column-wise is bit-exact (each output column contracts only its own
+        # kernel column) and replaces 3 small matmuls + backwards with 1.
+        # Param tree unchanged (_DenseParams mirrors the nn.Dense names).
+        in_dim = x.shape[-1]
+        kq, bq = _DenseParams(in_dim, H * C, XAVIER_U(), name="lin_query")()
+        kk, bk = _DenseParams(in_dim, H * C, XAVIER_U(), name="lin_key")()
+        kv, bv = _DenseParams(in_dim, H * C, XAVIER_U(), name="lin_value")()
+        w_qkv = jnp.concatenate([kq, kk, kv], axis=1).astype(cdt)
+        b_qkv = jnp.concatenate([bq, bk, bv]).astype(cdt)
+        qkv = x.astype(cdt) @ w_qkv + b_qkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         # head-major (H, E, C) layout: attention over sources sits on the LAST
         # axis (softmax + matmul friendly on TPU)
-        q = nn.Dense(H * C, kernel_init=XAVIER_U(), dtype=cdt, name="lin_query")(x)
-        k = nn.Dense(H * C, kernel_init=XAVIER_U(), dtype=cdt, name="lin_key")(x)
-        v = nn.Dense(H * C, kernel_init=XAVIER_U(), dtype=cdt, name="lin_value")(x)
         qh = jnp.swapaxes(q.reshape(E, H, C), 0, 1)  # (H, T, C)
         kh = jnp.swapaxes(k.reshape(E, H, C), 0, 1)  # (H, S, C)
         vh = jnp.swapaxes(v.reshape(E, H, C), 0, 1)  # (H, S, C)
