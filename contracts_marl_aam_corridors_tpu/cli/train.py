@@ -45,6 +45,7 @@ def build(args):
         max_grad_norm=args.max_grad_norm,
         use_max_grad_norm=args.use_max_grad_norm,
         use_linear_lr_decay=args.use_linear_lr_decay,
+        fuse_gnn_trunks=getattr(args, "fuse_gnn_trunks", False),
     )
     # non-recurrent 'mappo' uses the flat feed-forward generator semantics
     # (graph_buffer.py:368): chunk length 1 == per-timestep shuffling

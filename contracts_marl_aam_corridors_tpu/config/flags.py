@@ -148,6 +148,9 @@ def graph_config(args, parser: argparse.ArgumentParser):
                         help="lane-packed EmbedConv edge-MLP layout (see "
                         "ModelConfig.gnn_edge_packed); same param tree, "
                         "fp-tolerance numerics")
+    parser.add_argument("--fuse_gnn_trunks", type=_bool, default=False,
+                        help="run actor+critic GNNs as one vmapped launch in "
+                        "the PPO update (same math, fp-tolerance numerics)")
     all_args = parser.parse_known_args(args)[0]
 
     if all_args.auto_mini_batch_size:

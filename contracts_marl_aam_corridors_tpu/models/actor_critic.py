@@ -62,6 +62,11 @@ class GRActor(nn.Module):
 
     def trunk(self, obs: Array, node_obs: Array, adj: Array, agent_id: Array) -> Array:
         nbd = self.gnn_base(node_obs, adj, agent_id)
+        return self.post_gnn(obs, nbd)
+
+    def post_gnn(self, obs: Array, nbd: Array) -> Array:
+        """Trunk tail after the GNN (for the fused-trunk path, which computes
+        ``nbd`` externally from stacked actor+critic GNN params)."""
         return self.base(jnp.concatenate([obs, nbd], axis=-1))
 
     def head(
@@ -112,6 +117,9 @@ class GRCritic(nn.Module):
 
     def trunk(self, cent_obs: Array, node_obs: Array, adj: Array, agent_id: Array) -> Array:
         nbd = self.gnn_base(node_obs, adj, agent_id)
+        return self.post_gnn(cent_obs, nbd)
+
+    def post_gnn(self, cent_obs: Array, nbd: Array) -> Array:
         if self.cfg.use_cent_obs:
             nbd = jnp.concatenate([cent_obs, nbd], axis=-1)
         return self.base(nbd)

@@ -390,6 +390,11 @@ class GNNBase(nn.Module):
                 return x.max(axis=0)
             if cfg.global_aggr_type == "add":
                 return x.sum(axis=0)
+        if self.graph_aggr == "none":
+            # raw per-node embeddings (E, H); used by the fused-trunk path,
+            # which runs actor+critic GNNs as one vmapped launch over stacked
+            # params and applies each side's aggregation outside
+            return x
         raise ValueError(f"bad graph_aggr {self.graph_aggr}")
 
 

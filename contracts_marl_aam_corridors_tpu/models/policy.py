@@ -53,6 +53,7 @@ class GRMAPPOPolicy:
         use_max_grad_norm: bool = True,
         total_updates: int = 1,
         use_linear_lr_decay: bool = False,
+        fuse_gnn_trunks: bool = False,
     ):
         self.cfg = cfg
         self.dims = dims
@@ -62,6 +63,15 @@ class GRMAPPOPolicy:
         # in one launch and scans only the GRU head; "scanned" keeps the whole
         # network inside the time scan (lower peak memory).
         self.trunk_mode = "batched"
+        # Fused trunks: the actor and critic GNNs have identical parameter
+        # structures, so the PPO update can run BOTH as one vmapped launch
+        # over stacked params.  MEASURED: 1.20x standalone on the double-GNN
+        # fwd+bwd, but 0.88x at the EPISODE level (3.63 s vs 3.19-3.26 s) —
+        # the stacking disrupts XLA's own scheduling inside the fused
+        # program.  NOT an optimization; retained flag-off as the validated
+        # measurement closing the structural-batching hypothesis
+        # (BENCH_NOTES.md).
+        self.fuse_gnn_trunks = fuse_gnn_trunks
 
         # Linear lr decay is applied per-EPISODE by the runner via ``set_lr``
         # (reference lr_decay -> update_linear_schedule, graph_MAPPOPolicy.py:79),
@@ -122,6 +132,48 @@ class GRMAPPOPolicy:
         a = self.set_lr(ts.actor_opt, self.lr - self.lr * frac)
         c = self.set_lr(ts.critic_opt, self.critic_lr - self.critic_lr * frac)
         return ts.replace(actor_opt=a, critic_opt=c)
+
+    # ---------------- fused trunks ----------------
+    def _fused_trunks(self, params, obs, cent_obs, node_obs, adj, agent_id):
+        """Run actor+critic GNNs as ONE vmapped launch over stacked params
+        (identical subtree structures), then each side's aggregation and
+        trunk tail.  Inputs are flat (R, ...) rows."""
+        from flax import linen as nn
+
+        from .actor_critic import GRActor, GRCritic
+        from .nets import GNNBase
+
+        raw = nn.vmap(
+            GNNBase, in_axes=(0, 0, 0), out_axes=0,
+            variable_axes={"params": None}, split_rngs={"params": False},
+        )(self.cfg, graph_aggr="none")
+        stacked = jax.tree.map(
+            lambda a, c: jnp.stack([a, c]),
+            params.actor["gnn_base"], params.critic["gnn_base"],
+        )
+        nodes = jax.vmap(
+            lambda p: raw.apply({"params": p}, node_obs, adj, agent_id)
+        )(stacked)  # (2, R, E, H)
+
+        onehot = jax.nn.one_hot(
+            agent_id.reshape(-1).astype(jnp.int32), nodes.shape[2], dtype=nodes.dtype
+        )
+        nbd_a = jnp.einsum("re,reh->rh", onehot, nodes[0])
+        aggr = self.cfg.global_aggr_type
+        if aggr == "mean":
+            nbd_c = nodes[1].mean(axis=1)
+        elif aggr == "max":
+            nbd_c = nodes[1].max(axis=1)
+        else:  # add
+            nbd_c = nodes[1].sum(axis=1)
+
+        feats_a = self.actor.apply(
+            {"params": params.actor}, obs, nbd_a, method=GRActor.post_gnn
+        )
+        feats_c = self.critic.apply(
+            {"params": params.critic}, cent_obs, nbd_c, method=GRCritic.post_gnn
+        )
+        return feats_a, feats_c
 
     # ---------------- forward APIs ----------------
     def get_actions(
@@ -243,20 +295,32 @@ class GRMAPPOPolicy:
             flat = lambda x: x.reshape((T * x.shape[1],) + x.shape[2:])
             unflat = lambda x: x.reshape((T, -1) + x.shape[1:])
 
-            feats_a = unflat(
-                self.actor.apply(
-                    {"params": params.actor},
-                    flat(obs), flat(node_obs), flat(adj), flat(agent_id),
-                    method=GRActor.trunk,
-                )
+            fuse = (
+                self.fuse_gnn_trunks
+                and self.cfg.actor_graph_aggr == "node"
+                and self.cfg.critic_graph_aggr == "global"
             )
-            feats_c = unflat(
-                self.critic.apply(
-                    {"params": params.critic},
-                    flat(cent_obs), flat(node_obs), flat(adj), flat(share_agent_id),
-                    method=GRCritic.trunk,
+            if fuse:
+                feats_a, feats_c = self._fused_trunks(
+                    params, flat(obs), flat(cent_obs), flat(node_obs),
+                    flat(adj), flat(agent_id),
                 )
-            )
+                feats_a, feats_c = unflat(feats_a), unflat(feats_c)
+            else:
+                feats_a = unflat(
+                    self.actor.apply(
+                        {"params": params.actor},
+                        flat(obs), flat(node_obs), flat(adj), flat(agent_id),
+                        method=GRActor.trunk,
+                    )
+                )
+                feats_c = unflat(
+                    self.critic.apply(
+                        {"params": params.critic},
+                        flat(cent_obs), flat(node_obs), flat(adj), flat(share_agent_id),
+                        method=GRCritic.trunk,
+                    )
+                )
 
             def actor_head(h, xs):
                 f, m, av = xs

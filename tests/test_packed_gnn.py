@@ -90,3 +90,58 @@ def test_packed_trains_under_vmap():
     logits, h2 = jax.jit(actor.apply)(params, obs, node, adj, aid, h, m)
     assert logits.shape == (B, 5)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fused_trunks_match_unfused():
+    """fuse_gnn_trunks: one vmapped launch for both GNNs in evaluate_actions
+    equals the separate-trunk path (values/logp/entropy and grads)."""
+    from contracts_marl_aam_corridors_tpu.models.policy import (
+        GRMAPPOPolicy, PolicyDims,
+    )
+
+    cfg = ModelConfig(compute_dtype="float32")
+    dims = PolicyDims(obs_dim=19, cent_obs_dim=57, num_entities=7,
+                      node_feat_dim=8, num_actions=5)
+    pol_u = GRMAPPOPolicy(cfg, dims)
+    pol_f = GRMAPPOPolicy(cfg, dims, fuse_gnn_trunks=True)
+    params = pol_u.init_params(jax.random.PRNGKey(0))
+
+    L, mb, E = 5, 6, 7
+    k = jax.random.PRNGKey(1)
+    ks = jax.random.split(k, 8)
+    obs = jax.random.normal(ks[0], (L, mb, 19))
+    cent = jax.random.normal(ks[1], (L, mb, 57))
+    node = jax.random.normal(ks[2], (L, mb, E, 8))
+    etype = jax.random.randint(ks[7], (L, mb, E, 1), 0, 3).astype(node.dtype)
+    node = jnp.concatenate([node[..., :-1], etype], axis=-1)
+    adj = jax.random.uniform(ks[3], (L, mb, E, E), minval=0.1, maxval=2.0)
+    adj = adj * (1 - jnp.eye(E))
+    aid = jax.random.randint(ks[4], (L, mb, 1), 0, 3)
+    said = jnp.broadcast_to(aid, (L, mb, 3))[..., :3]
+    h = jnp.zeros((mb, 1, cfg.hidden_size))
+    masks = jnp.ones((L, mb, 1))
+    actions = jax.random.randint(ks[5], (L, mb, 1), 0, 5)
+    avail = jnp.ones((L, mb, 5))
+    am = jnp.ones((L, mb, 1))
+
+    def run(pol, p):
+        v, lp, ent = pol.evaluate_actions(
+            p, cent, obs, node, adj, aid, said, h, h, actions, masks, avail,
+            am, time_major=True,
+        )
+        return v, lp, ent
+
+    v_u, lp_u, ent_u = run(pol_u, params)
+    v_f, lp_f, ent_f = run(pol_f, params)
+    np.testing.assert_allclose(np.asarray(v_u), np.asarray(v_f), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp_u), np.asarray(lp_f), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(ent_u), float(ent_f), rtol=1e-5)
+
+    def loss(p, pol):
+        v, lp, ent = run(pol, p)
+        return v.sum() + lp.sum() + ent
+
+    g_u = jax.grad(loss)(params, pol_u)
+    g_f = jax.grad(loss)(params, pol_f)
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
