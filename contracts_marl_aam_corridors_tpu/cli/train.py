@@ -67,6 +67,8 @@ def build(args):
         use_popart=args.use_popart,
         use_value_active_masks=args.use_value_active_masks,
         use_policy_active_masks=args.use_policy_active_masks,
+        use_gae=args.use_gae,
+        use_proper_time_limits=args.use_proper_time_limits,
     )
     runner = Runner(
         env_params=env_params,
@@ -129,6 +131,8 @@ def build_mpe(args):
         use_popart=args.use_popart,
         use_value_active_masks=args.use_value_active_masks,
         use_policy_active_masks=args.use_policy_active_masks,
+        use_gae=args.use_gae,
+        use_proper_time_limits=args.use_proper_time_limits,
     )
     if not args.share_policy:
         # separated per-agent policies (reference runner/separated/*):
@@ -251,6 +255,12 @@ def main(argv=None):
     else:
         step_fn = jax.jit(runner.train_episode)
 
+    # in-training eval (reference GMPERunner.eval, cadence at
+    # graph_mpe_runner.py:162-194): eval_episodes deterministic episodes run
+    # as one vectorized batch every eval_interval episodes
+    n_eval = max(args.n_eval_rollout_threads, args.eval_episodes)
+    eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval)) if args.use_eval else None
+
     episodes = int(args.num_env_steps) // args.episode_length // args.n_rollout_threads
     print_box(
         f"{args.scenario_name} | {args.num_agents} agents | "
@@ -263,7 +273,7 @@ def main(argv=None):
     def rebuild():
         # re-parameterized step function; on a mesh the wrapper must be
         # re-initialized so its jitted step carries the right shardings
-        nonlocal step_fn, runner, ts, carry
+        nonlocal step_fn, runner, ts, carry, eval_fn
         _, _, _, runner = build(args)
         if use_mesh:
             dr = DistributedRunner(runner, make_mesh(devices))
@@ -271,6 +281,8 @@ def main(argv=None):
             step_fn = dr.train_episode
         else:
             step_fn = jax.jit(runner.train_episode)
+        if args.use_eval:
+            eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
 
     start = time.time()
     for episode in range(start_episode, episodes):
@@ -325,6 +337,17 @@ def main(argv=None):
                 f"rew {info.get('average_episode_rewards', float('nan')):.3f} "
                 f"vloss {info.get('value_loss', float('nan')):.4f} "
                 f"sps {sps:,.0f}",
+                flush=True,
+            )
+        if eval_fn is not None and episode % args.eval_interval == 0:
+            key, evkey = jax.random.split(key)
+            einfo = {k: float(np.asarray(v)) for k, v in eval_fn(ts, evkey).items()}
+            logger.log(einfo, total_steps)
+            print(
+                f"[eval ep {episode}] rew {einfo['eval_average_episode_rewards']:.2f} "
+                f"success {einfo['eval_success_rate']:.3f} "
+                f"all-success {einfo['eval_all_success_rate']:.3f} "
+                f"collisions {einfo['eval_num_agent_collisions']:.2f}",
                 flush=True,
             )
     save_checkpoint(save_dir, ts, episodes - 1 if episodes else 0, config=vars(args))

@@ -1063,6 +1063,9 @@ def step(
         reward=reward,
         done=done,
         info=info,
+        # time-limit-only done: the agent never froze at its goal, the clock
+        # ran out (environment.py:263-271 distinguishes the same two causes)
+        truncated=done & ~state.status,
     )
     return state, ts
 

@@ -49,6 +49,7 @@ def reset(params: EnvParams, key: Array, dtype=jnp.float32):
         reward=jnp.zeros((n,), dtype),
         done=jnp.zeros((n,), bool),
         info={},
+        truncated=jnp.zeros((n,), bool),
     )
     return state, ts
 

@@ -226,3 +226,8 @@ class TimeStep:
     reward: Array  # (N,)
     done: Array  # (N,) bool
     info: dict = struct.field(default_factory=dict)
+    # done solely because the episode clock hit episode_length (a TIME-LIMIT
+    # truncation, not a terminal goal-freeze) — drives bad_masks for
+    # use_proper_time_limits GAE (graph_buffer.py:162,312).  None == no
+    # truncation info (classic-MPE paths).
+    truncated: Optional[Array] = None  # (N,) bool

@@ -83,6 +83,10 @@ class GRMAPPOTrainer:
     use_popart: bool = False
     use_value_active_masks: bool = True
     use_policy_active_masks: bool = True
+    # return-computation branches (graph_buffer.py:285-366); consumed by the
+    # runners' compute_returns call
+    use_gae: bool = True
+    use_proper_time_limits: bool = False
 
     def init_state(self, key, dtype=jnp.float32) -> TrainState:
         from .popart import popart_init

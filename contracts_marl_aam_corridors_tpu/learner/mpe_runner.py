@@ -191,7 +191,9 @@ class MPERunner:
             masks=flat(carry2.masks),
         ).reshape(B, N, 1)
         buffer = compute_returns(
-            buffer, next_values, ts.vn, self.trainer.gamma, self.trainer.gae_lambda
+            buffer, next_values, ts.vn, self.trainer.gamma, self.trainer.gae_lambda,
+            use_gae=self.trainer.use_gae,
+            use_proper_time_limits=self.trainer.use_proper_time_limits,
         )
         return carry2, buffer
 

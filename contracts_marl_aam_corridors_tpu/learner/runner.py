@@ -51,6 +51,7 @@ class RolloutCarry:
     rnn_critic: Array  # (B, N, rN, H)
     masks: Array  # (B, N, 1)
     active_masks: Array  # (B, N, 1)
+    bad_masks: Array  # (B, N, 1): 0 where last done was a time-limit truncation
     prev_done: Array  # (B, N) bool, drives stop-action masking
     key: Array
 
@@ -99,6 +100,7 @@ class Runner:
             rnn_critic=zeros_h,
             masks=jnp.ones((B, N, 1), self.dtype),
             active_masks=jnp.ones((B, N, 1), self.dtype),
+            bad_masks=jnp.ones((B, N, 1), self.dtype),
             prev_done=jnp.zeros((B, N), bool),
             key=key,
         )
@@ -144,6 +146,8 @@ class Runner:
         masks = 1.0 - done_f
         active = 1.0 - done_f
         active = jnp.where(dones_env[:, None, None], 1.0, active)
+        # bad_masks[t+1] = 0 only for time-limit truncations (TimeStep.truncated)
+        bad = 1.0 - step_ts.truncated[..., None].astype(self.dtype)
         h_a = unflat(h_a) * (1.0 - done_f[..., None])
         h_c = unflat(h_c) * (1.0 - done_f[..., None])
 
@@ -161,6 +165,7 @@ class Runner:
             rewards=step_ts.reward[..., None],
             masks=carry.masks,
             active_masks=carry.active_masks,
+            bad_masks=carry.bad_masks,
             available_actions=avail,
             info=step_ts.info,
         )
@@ -174,6 +179,7 @@ class Runner:
             rnn_critic=h_c,
             masks=masks,
             active_masks=active,
+            bad_masks=bad,
             prev_done=dones,
             key=key,
         )
@@ -209,6 +215,7 @@ class Runner:
             masks=close(outs["masks"], carry2.masks),
             active_masks=close(outs["active_masks"], carry2.active_masks),
             available_actions=close(outs["available_actions"], avail_last),
+            bad_masks=close(outs["bad_masks"], carry2.bad_masks),
         )
 
         # bootstrap value (compute, graph_mpe_runner.py:430-443)
@@ -226,7 +233,9 @@ class Runner:
             flat(carry2.masks),
         ).reshape(B, N, 1)
         buffer = compute_returns(
-            buffer, next_values, ts.vn, self.trainer.gamma, self.trainer.gae_lambda
+            buffer, next_values, ts.vn, self.trainer.gamma, self.trainer.gae_lambda,
+            use_gae=self.trainer.use_gae,
+            use_proper_time_limits=self.trainer.use_proper_time_limits,
         )
         return carry2, buffer, outs["info"]
 
@@ -241,3 +250,99 @@ class Runner:
         )
         env_info = jax.tree.map(lambda x: jnp.mean(x[-1]), infos)
         return ts, carry, train_info, env_info
+
+    # ------------------------------------------------------------- eval
+    def eval_episode(self, ts: TrainState, key: Array, n_eval: int):
+        """Deterministic in-training evaluation (reference ``GMPERunner.eval``,
+        graph_mpe_runner.py:445-516): fresh envs, ``policy.act`` with
+        deterministic=True, one episode window.
+
+        Beyond the reference (which logs only eval_average_episode_rewards)
+        this also reports the success rate — per-agent success =
+        dist_to_goal < goal threshold, the definition the reference uses in
+        its render-time stats (base_runner.py:499-505) — plus
+        collision/conformance metrics.  Per-env metrics are latched at the
+        step the env first finishes (all agents done, pre-auto-reset), the
+        same state the host eval loop reads before breaking (cli/eval.py).
+        """
+        B, N = n_eval, self.env_params.num_agents
+        E = self.env_params.num_entities
+        A = self.policy.dims.num_actions
+        rN, H = self.policy.cfg.recurrent_n, self.policy.cfg.hidden_size
+
+        key, rkey = jax.random.split(key)
+        keys = jax.random.split(rkey, B)
+        state, ts0 = jax.vmap(partial(env_mod.reset, self.env_params, dtype=self.dtype))(keys)
+
+        def info_zeros(x):
+            return jnp.zeros_like(x)
+
+        carry0 = dict(
+            env_state=state,
+            obs=ts0.obs, node_obs=ts0.node_obs, adj=ts0.adj, agent_id=ts0.agent_id,
+            h=jnp.zeros((B, N, rN, H), self.dtype),
+            masks=jnp.ones((B, N, 1), self.dtype),
+            prev_done=jnp.zeros((B, N), bool),
+            latched=jnp.zeros((B,), bool),
+            ep_rew=jnp.zeros((B, N), self.dtype),
+            info=None,  # filled below once shapes are known
+        )
+
+        flat = lambda x: x.reshape((B * N,) + x.shape[2:])
+        unflat = lambda x: x.reshape((B, N) + x.shape[1:])
+
+        def latch(already, now, acc):
+            """Track the current info until the env latches, then freeze."""
+            def upd(a, b):
+                f = already.reshape((B,) + (1,) * (a.ndim - 1))
+                return jnp.where(f, a, b)
+            return jax.tree.map(upd, acc, now)
+
+        def step_fn(c, _):
+            avail = self._stop_avail(c["prev_done"])
+            adj_rep = jnp.broadcast_to(c["adj"][:, None], (B, N, E, E))
+            actions, h = self.policy.act(
+                ts.params, jax.random.PRNGKey(0),
+                flat(c["obs"]), flat(c["node_obs"]), flat(adj_rep),
+                flat(c["agent_id"]), flat(c["h"]), flat(c["masks"]),
+                flat(avail), deterministic=True,
+            )
+            env_state, st = jax.vmap(partial(env_mod.step, self.env_params))(
+                c["env_state"], unflat(actions)[..., 0]
+            )
+            dones = st.done
+            dones_env = jnp.all(dones, axis=1)
+            done_f = dones[..., None].astype(self.dtype)
+            acc = st.info if c["info"] is None else latch(c["latched"], st.info, c["info"])
+            new = dict(
+                env_state=env_state,
+                obs=st.obs, node_obs=st.node_obs, adj=st.adj, agent_id=c["agent_id"],
+                h=unflat(h) * (1.0 - done_f[..., None]),
+                masks=1.0 - done_f,
+                prev_done=dones,
+                latched=c["latched"] | dones_env,
+                ep_rew=c["ep_rew"] + st.reward,
+                info=acc,
+            )
+            return new, None
+
+        # one un-scanned step fixes the info-tree structure for the carry
+        carry1, _ = step_fn(carry0, None)
+        carry2, _ = jax.lax.scan(step_fn, carry1, None,
+                                 length=self.env_params.episode_length - 1)
+
+        info = carry2["info"]
+        thresh = jnp.asarray(self.env_params.cfg.goal_threshold, self.dtype)
+        success = (info["Dist_to_goal"] < thresh).astype(self.dtype)  # (B, N)
+        out = {
+            "eval_average_episode_rewards": jnp.mean(carry2["ep_rew"]),
+            "eval_success_rate": jnp.mean(success),
+            "eval_all_success_rate": jnp.mean(jnp.all(success > 0.5, axis=1).astype(self.dtype)),
+            "eval_num_agent_collisions": jnp.mean(info["Num_agent_collisions"]),
+            "eval_conformance": jnp.mean(info["Conformance"]),
+            "eval_time_mean": jnp.mean(info["Time_mean"]),
+            "eval_dist_to_goal": jnp.mean(info["Dist_to_goal"]),
+        }
+        if "Phase_reached" in info:
+            out["eval_phase_reached"] = jnp.mean(info["Phase_reached"])
+        return out

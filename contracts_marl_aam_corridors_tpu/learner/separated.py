@@ -206,6 +206,8 @@ class SeparatedMPERunner(MPERunner):
             lambda buf1, nv, vn: compute_returns(
                 _expand_agent(buf1), nv[:, None], vn,
                 self.trainer.gamma, self.trainer.gae_lambda,
+                use_gae=self.trainer.base.use_gae,
+                use_proper_time_limits=self.trainer.base.use_proper_time_limits,
             ),
             in_axes=(_BUFFER_AXES, 1, 0),
             out_axes=_BUFFER_AXES,

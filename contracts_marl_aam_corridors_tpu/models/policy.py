@@ -118,7 +118,10 @@ class GRMAPPOPolicy:
             if hasattr(st, "hyperparams") and "learning_rate" in st.hyperparams:
                 hp = dict(st.hyperparams)
                 old = hp["learning_rate"]
-                hp["learning_rate"] = jnp.asarray(lr, getattr(old, "dtype", jnp.float32))
+                # keep the existing leaf's shape/dtype: separated training
+                # vmaps a stacked (N,) lr leaf, so a rank-0 replacement would
+                # break the vmapped train call
+                hp["learning_rate"] = jnp.full_like(jnp.asarray(old), lr)
                 return st._replace(hyperparams=hp)
             if isinstance(st, tuple) and not hasattr(st, "_fields"):
                 return tuple(fix(s) for s in st)

@@ -74,8 +74,14 @@ def merge_eval_args(args, run_cfg: dict):
     for k, v in run_cfg.items():
         if k in exclude or not hasattr(args, k):
             continue
+        cur = getattr(args, k)
         try:
-            setattr(args, k, type(getattr(args, k))(v) if getattr(args, k) is not None else v)
+            if isinstance(cur, bool) and isinstance(v, str):
+                # reference wandb yamls store bools as 'True'/'False' strings;
+                # bool('False') is True, so parse the string explicitly
+                setattr(args, k, v.strip().lower() in ("1", "true", "yes", "y", "t"))
+            else:
+                setattr(args, k, type(cur)(v) if cur is not None else v)
         except (TypeError, ValueError):
             setattr(args, k, v)
     return args

@@ -233,3 +233,151 @@ def test_nonrecurrent_mappo_runs():
     ts2, c2, info, _ = jax.jit(runner.train_episode)(ts, carry, jax.random.PRNGKey(2))
     assert np.isfinite(float(info["value_loss"]))
     assert np.isfinite(float(info["policy_loss"]))
+
+
+def test_eval_episode(tiny_setup):
+    """In-training eval (reference GMPERunner.eval:445-516): deterministic
+    batched episodes, success/collision/conformance metrics, all finite."""
+    env_params, policy, trainer, runner = tiny_setup
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    out = jax.jit(lambda t, k: runner.eval_episode(t, k, 4))(
+        ts, jax.random.PRNGKey(5)
+    )
+    for k in ["eval_average_episode_rewards", "eval_success_rate",
+              "eval_all_success_rate", "eval_num_agent_collisions",
+              "eval_conformance", "eval_time_mean", "eval_dist_to_goal"]:
+        assert k in out, k
+        assert np.isfinite(float(out[k])), k
+    assert 0.0 <= float(out["eval_success_rate"]) <= 1.0
+    assert 0.0 <= float(out["eval_all_success_rate"]) <= float(out["eval_success_rate"]) + 1e-6
+    # deterministic policy + same key => identical metrics
+    out2 = jax.jit(lambda t, k: runner.eval_episode(t, k, 4))(
+        ts, jax.random.PRNGKey(5)
+    )
+    assert float(out2["eval_average_episode_rewards"]) == float(
+        out["eval_average_episode_rewards"]
+    )
+
+
+def test_set_lr_preserves_leaf_shape():
+    """ADVICE r1: set_lr must broadcast to the existing lr leaf so separated
+    training's stacked (N,) lr survives --use_linear_lr_decay."""
+    import optax
+
+    from contracts_marl_aam_corridors_tpu.models.policy import GRMAPPOPolicy
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    params = {"w": jnp.zeros((3, 3))}
+    st = tx.init(params)
+    # simulate the separated path: stack the opt state across 4 agents
+    stacked = jax.tree.map(lambda x: jnp.stack([x] * 4), st)
+    fixed = GRMAPPOPolicy.set_lr(stacked, 5e-4)
+
+    def find_lr(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            return s.hyperparams["learning_rate"]
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            for x in s:
+                r = find_lr(x)
+                if r is not None:
+                    return r
+        return None
+
+    lr = find_lr(fixed)
+    assert lr is not None and lr.shape == (4,)
+    np.testing.assert_allclose(np.asarray(lr), 5e-4)
+
+
+def _np_reference_returns(rewards, value_preds, masks, bad_masks, next_value,
+                          gamma, lam, use_gae, use_ptl, denorm):
+    """Literal numpy port of graph_buffer.compute_returns:285-366."""
+    T = rewards.shape[0]
+    vp = value_preds.copy()
+    returns = np.zeros_like(value_preds)
+    if use_gae:
+        vp[-1] = next_value
+        gae = 0
+        for step in reversed(range(T)):
+            delta = rewards[step] + gamma * denorm(vp[step + 1]) * masks[step + 1] \
+                - denorm(vp[step])
+            gae = delta + gamma * lam * gae * masks[step + 1]
+            if use_ptl:
+                gae = gae * bad_masks[step + 1]
+            returns[step] = gae + denorm(vp[step])
+    else:
+        returns[-1] = next_value
+        for step in reversed(range(T)):
+            r = returns[step + 1] * gamma * masks[step + 1] + rewards[step]
+            if use_ptl:
+                r = r * bad_masks[step + 1] + \
+                    (1 - bad_masks[step + 1]) * denorm(vp[step])
+            returns[step] = r
+    return returns
+
+
+@pytest.mark.parametrize("use_gae", [True, False])
+@pytest.mark.parametrize("use_ptl", [True, False])
+@pytest.mark.parametrize("with_vn", [True, False])
+def test_compute_returns_all_branches(use_gae, use_ptl, with_vn):
+    """All four {use_gae} x {use_proper_time_limits} reference branches
+    (graph_buffer.py:285-366), with and without a value normalizer."""
+    T, B, N = 6, 2, 3
+    rng = np.random.RandomState(7)
+    rewards = rng.randn(T, B, N, 1).astype(np.float32)
+    value_preds = rng.randn(T + 1, B, N, 1).astype(np.float32)
+    masks = (rng.rand(T + 1, B, N, 1) > 0.3).astype(np.float32)
+    # truncations are a subset of dones: bad_mask 0 only where mask 0
+    bad_masks = np.where(
+        (masks == 0) & (rng.rand(T + 1, B, N, 1) > 0.5), 0.0, 1.0
+    ).astype(np.float32)
+    next_value = rng.randn(B, N, 1).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+
+    if with_vn:
+        st = vn_update(vn_init(), jnp.asarray(rng.randn(100, 1) * 2 + 1))
+        denorm = lambda v: np.asarray(vn_denormalize(st, jnp.asarray(v)))
+    else:
+        st = None
+        denorm = lambda v: v
+
+    want = _np_reference_returns(
+        rewards, value_preds, masks, bad_masks, next_value,
+        gamma, lam, use_gae, use_ptl, denorm,
+    )
+
+    dummy = jnp.zeros((T, B, N, 1), jnp.float32)
+    buf = RolloutBuffer(
+        share_obs=dummy, obs=dummy, node_obs=dummy, adj=dummy,
+        agent_id=dummy, rnn_states=dummy, rnn_states_critic=dummy,
+        actions=dummy, action_log_probs=dummy,
+        value_preds=jnp.asarray(value_preds),
+        returns=jnp.zeros((T + 1, B, N, 1), jnp.float32),
+        rewards=jnp.asarray(rewards),
+        masks=jnp.asarray(masks),
+        active_masks=jnp.asarray(masks),
+        available_actions=dummy,
+        bad_masks=jnp.asarray(bad_masks),
+    )
+    out = compute_returns(
+        buf, jnp.asarray(next_value), st, gamma, lam,
+        use_gae=use_gae, use_proper_time_limits=use_ptl,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.returns[:-1]), want[:-1], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_rollout_tracks_truncation_bad_masks(tiny_setup):
+    """The runner's buffer carries real bad_masks: time-limit dones are
+    truncations (bad_mask 0); bad_masks are a subset of masks' zeros."""
+    env_params, policy, trainer, runner = tiny_setup
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    carry = runner.init_carry(jax.random.PRNGKey(1))
+    _, buffer, _ = jax.jit(runner.collect)(ts, carry)
+    bad = np.asarray(buffer.bad_masks)
+    masks = np.asarray(buffer.masks)
+    # zeros only where masks are zero
+    assert np.all((bad == 1) | (masks == 0))
+    # the window length equals episode_length so every env hits the time
+    # limit at the last step: non-frozen agents must be truncated there
+    assert (bad[-1] == 0).any()
