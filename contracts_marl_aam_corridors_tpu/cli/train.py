@@ -48,8 +48,17 @@ def build(args):
         fuse_gnn_trunks=getattr(args, "fuse_gnn_trunks", False),
     )
     # non-recurrent 'mappo' uses the flat feed-forward generator semantics
-    # (graph_buffer.py:368): chunk length 1 == per-timestep shuffling
-    chunk = args.data_chunk_length if cfg.use_recurrent_policy else 1
+    # (graph_buffer.py:368): chunk length 1 == per-timestep shuffling.
+    # --use_naive_recurrent_policy trains on whole-episode sequences
+    # (naive_recurrent_generator, graph_buffer.py:455-596): that is exactly
+    # the chunked path with chunk length == episode_length (contiguous
+    # full-T chunks, head rnn state from t=0, permuted over env*agent).
+    if not cfg.use_recurrent_policy:
+        chunk = 1
+    elif args.use_naive_recurrent_policy and not args.use_recurrent_policy:
+        chunk = args.episode_length
+    else:
+        chunk = args.data_chunk_length
     trainer = GRMAPPOTrainer(
         policy,
         clip_param=args.clip_param,

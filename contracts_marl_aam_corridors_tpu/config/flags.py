@@ -24,7 +24,6 @@ IGNORED_FLAGS = (
     "cuda_deterministic",
     "n_training_threads",
     "user_name",
-    "use_naive_recurrent_policy",
 )
 
 
@@ -208,7 +207,15 @@ def scenario_config(parser: argparse.ArgumentParser):
 def parse_all(argv=None) -> argparse.Namespace:
     parser = get_config()
     scenario_config(parser)
-    return graph_config(argv, parser)
+    args = graph_config(argv, parser)
+    # recurrent-flag consistency (train_mpe.py:126-135)
+    if args.algorithm_name == "rmappo":
+        assert args.use_recurrent_policy or args.use_naive_recurrent_policy, (
+            "check recurrent policy!")
+    elif args.algorithm_name == "mappo":
+        assert (not args.use_recurrent_policy
+                and not args.use_naive_recurrent_policy), "check recurrent policy!"
+    return args
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +260,8 @@ def build_env_params(args):
 def scenario_kind(scenario_name: str) -> str:
     """Map reference scenario module names to our parameterized kernels."""
     name = scenario_name.lower()
+    if "v4oct" in name:
+        return "v4oct"
     if "rot_inv" in name:
         return "rot_inv"
     if "sequential" in name:
@@ -280,7 +289,8 @@ def build_model_config(args):
         use_feature_normalization=args.use_feature_normalization,
         use_orthogonal=args.use_orthogonal,
         gain=args.gain,
-        use_recurrent_policy=(args.algorithm_name == "rmappo") and args.use_recurrent_policy,
+        use_recurrent_policy=(args.algorithm_name == "rmappo")
+        and (args.use_recurrent_policy or args.use_naive_recurrent_policy),
         recurrent_n=args.recurrent_N,
         num_embeddings=args.num_embeddings,
         embedding_size=args.embedding_size,

@@ -552,11 +552,20 @@ def observations(params: EnvParams, state: EnvState) -> tuple[EnvState, Array]:
     goal = state.landmark_pos[state.goal_match]
     rel_goal = goal - pos
     occupied = state.occupied[state.goal_match][:, None]
-    neighbors = dist_ops.two_nearest_neighbors(pos)
+    if params.scenario == "v4oct":
+        # stale-cache neighbors (v4oct:1290-1308): candidates RANKED by the
+        # frozen pairwise distances, rel vector = frozen other-position minus
+        # CURRENT ego position (see EnvState.frozen_pos)
+        neighbors = _v4oct_two_nearest(params, state, pos)
+        phase = tube_mod.agent_phase_v4oct(state.tube, pos)
+        new_prev = state.prev_phase  # never advanced (v4oct:938 dead code)
+        cooldown = state.entry_cooldown  # v4oct has no entry cooldown
+    else:
+        neighbors = dist_ops.two_nearest_neighbors(pos)
+        cooldown = _decrement_cooldown(state.entry_cooldown)
+        phase, new_prev = _phase_all(params, state.tube, pos, state.prev_phase)
     rel_entrance = state.tube.entrance - pos
     rel_exit = state.tube.exit - pos
-    cooldown = _decrement_cooldown(state.entry_cooldown)
-    phase, new_prev = _phase_all(params, state.tube, pos, state.prev_phase)
     width = jnp.broadcast_to(state.tube.width, (params.num_agents,))[:, None]
     obs = jnp.concatenate(
         [
@@ -653,6 +662,65 @@ def masked_adjacency(params: EnvParams, state: EnvState, values: Array) -> Array
     return adj * keep[:, None] * keep[None, :]
 
 
+def _v4oct_two_nearest(params: EnvParams, state: EnvState, pos: Array) -> Array:
+    """Two nearest neighbors per agent, ranked by the FROZEN pairwise
+    distances of v4oct's stale position cache; the returned rel vectors mix
+    frozen neighbor positions with current ego positions (v4oct:1296-1308)."""
+    n = params.num_agents
+    frozen = state.frozen_pos
+    d = jnp.linalg.norm(frozen[None, :, :] - frozen[:, None, :], axis=-1)
+    d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
+    order = jnp.argsort(d, axis=-1)[:, :2]  # (n, 2) stable
+    rel = frozen[order] - pos[:, None, :]  # (n, 2, 2)
+    valid = jnp.isfinite(jnp.take_along_axis(d, order, axis=1))  # (n, 2)
+    return (rel * valid[..., None]).reshape(n, 4)
+
+
+def _reward_one_agent_v4oct(params: EnvParams, state: EnvState, values: Array, i: int):
+    """v4oct ``reward`` (v4oct:883-938 — everything after the mid-function
+    ``return`` is dead code).  Quirks preserved:
+
+    * agent-agent collisions use the FROZEN distance cache and ``break`` after
+      the first hit: at most one -4*collision_rew penalty, and it never
+      changes as agents move (v4oct:893-900, 838-841);
+    * the squared-distance comparison (dist2 < sep2) replaces july's
+      ``dist < sep`` (fp-identical except at the boundary);
+    * phase is {0, 1} only (see ``agent_phase_v4oct``): phase-0 pays
+      -dist(entrance), phase-1 pays -dist(exit) and bumps steps_in_corridor;
+      the goal branch is unreachable, so agents never freeze;
+    * NO reward clip, NO phase_reached/conformance/spacing bookkeeping.
+    """
+    cfg = params.cfg
+    dtype = values.dtype
+    n = params.num_agents
+    pos = values[:, :2]
+    pos_i = pos[i]
+    tube = state.tube
+
+    cur = tube_mod.agent_phase_v4oct(tube, pos_i)
+    rew = jnp.zeros((), dtype)
+
+    frozen = state.frozen_pos
+    d2 = jnp.sum((frozen - frozen[i]) ** 2, axis=-1)
+    colliding = (
+        (d2 < cfg.separation_distance**2)
+        & ~state.status
+        & ~state.status[i]
+        & (jnp.arange(n) != i)
+    )
+    rew -= params.collision_rew * 4 * jnp.any(colliding).astype(dtype)
+    rew -= params.collision_rew * 3 * _obstacle_collision(params, state, pos_i).astype(dtype)
+
+    is_p0 = (cur == 0).astype(dtype)
+    is_p1 = (cur == 1).astype(dtype)
+    rew -= is_p0 * jnp.linalg.norm(tube.entrance - pos_i)
+    rew -= is_p1 * jnp.linalg.norm(tube.exit - pos_i)
+    state = state.replace(
+        steps_in_corridor=state.steps_in_corridor.at[i].add(is_p1)
+    )
+    return rew, state, values
+
+
 def _reward_one_agent(
     params: EnvParams, state: EnvState, values: Array, i: int, hj_pair: Array | None = None
 ):
@@ -664,6 +732,8 @@ def _reward_one_agent(
     """
     if params.scenario in GATED_SCENARIOS:
         return _reward_one_agent_gated(params, state, values, i)
+    if params.scenario == "v4oct":
+        return _reward_one_agent_v4oct(params, state, values, i)
     cfg = params.cfg
     dtype = values.dtype
     n = params.num_agents

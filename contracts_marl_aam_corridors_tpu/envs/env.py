@@ -69,6 +69,10 @@ def step(params: EnvParams, state: EnvState, action_idx: Array, hj_data=None):
     dtype = state.agent_states.dtype
     fresh = reset_mod.reset(params, rkey, dtype)
     fresh = fresh.replace(prev_phase=state2.prev_phase)
+    if state2.frozen_pos is not None:
+        # v4oct's stale position cache persists across episodes (the scenario
+        # object is never rebuilt, see EnvState.frozen_pos)
+        fresh = fresh.replace(frozen_pos=state2.frozen_pos)
     fresh, obs_r, node_r, adj_r, _ = corridor.reset_outputs(params, fresh)
     state2 = state2.replace(key=key_next)
 

@@ -104,6 +104,7 @@ def _spawn_agents(params: EnvParams, tube: TubeParams, key: Array, dtype):
     """
     n = params.num_agents
     ws = params.world_size
+    jr = params.spawn_jitter_range  # ws, except v4oct's hard-coded 10
     perp = jnp.stack([jnp.sin(tube.angle), jnp.cos(tube.angle)]).astype(dtype)
     sep = params.cfg.separation_distance
     obstacle_pos = jnp.zeros((params.num_obstacles, 2), dtype)
@@ -122,7 +123,7 @@ def _spawn_agents(params: EnvParams, tube: TubeParams, key: Array, dtype):
     def place_one(carry, k):
         key, placed = carry
         key, jkey = jax.random.split(key)
-        jitter = jscale * jax.random.uniform(jkey, (K, 2), dtype, -ws, ws)
+        jitter = jscale * jax.random.uniform(jkey, (K, 2), dtype, -jr, jr)
         base = tube.entrance + (ws + k.astype(dtype)) / sdiv * perp
         cand = base + jitter  # (K, 2)
         d = jnp.linalg.norm(placed[None, :, :] - cand[:, None, :], axis=-1)  # (K, n)
@@ -302,7 +303,11 @@ def reset(params: EnvParams, key: Array, dtype=jnp.float32) -> EnvState:
     if params.scenario == "fairassign":
         return _reset_fairassign(params, key, dtype)
     key, akey, tkey = jax.random.split(key, 3)
-    angle = jax.random.uniform(tkey, (), dtype, -jnp.pi / 2, jnp.pi / 2)
+    if params.fixed_tube_angle is not None:
+        # v4oct pins the angle (v4oct:548); no draw
+        angle = jnp.asarray(params.fixed_tube_angle, dtype)
+    else:
+        angle = jax.random.uniform(tkey, (), dtype, -jnp.pi / 2, jnp.pi / 2)
     length = None
     if params.randomize_tube_length:
         # two_phase setup: length = 0.8ws + U(-0.3ws, 0.1ws)
@@ -325,6 +330,10 @@ def reset(params: EnvParams, key: Array, dtype=jnp.float32) -> EnvState:
     goal = landmark_pos[fields["goal_match"]]
     min_time = jnp.linalg.norm(agent_pos - goal, axis=-1) / params.max_speed
     fields["goal_min_time"] = min_time.astype(dtype)
+    if params.scenario == "v4oct":
+        # the stale position cache (see EnvState.frozen_pos); on a fresh env
+        # it holds this reset's spawn, and auto-reset carries it unchanged
+        fields["frozen_pos"] = agent_pos
     return EnvState(
         agent_states=agent_states,
         prev_phase=jnp.zeros((params.num_agents,), jnp.int32),
@@ -354,7 +363,10 @@ def reset_parity_numpy(params: EnvParams, prev_phase: np.ndarray | None = None) 
     n, ws = params.num_agents, params.world_size
     dtype = np.float64
     np.random.uniform(0.2, 0.8)  # wall_length draw (value unused; stream parity)
-    angle = np.random.uniform(-np.pi / 2, np.pi / 2)
+    if params.fixed_tube_angle is not None:
+        angle = params.fixed_tube_angle  # v4oct: fixed, no draw (v4oct:548)
+    else:
+        angle = np.random.uniform(-np.pi / 2, np.pi / 2)
     length = None
     if params.randomize_tube_length:
         length = ws * 0.8 + np.random.uniform(-ws * 0.3, ws * 0.1)
@@ -368,7 +380,8 @@ def reset_parity_numpy(params: EnvParams, prev_phase: np.ndarray | None = None) 
     obstacle_pos = np.zeros((params.num_obstacles, 2))
     while len(placed) < n:
         k = len(placed)
-        jitter = params.spawn_jitter_scale * np.random.uniform(-ws, ws, 2)
+        jr = params.spawn_jitter_range
+        jitter = params.spawn_jitter_scale * np.random.uniform(-jr, jr, 2)
         pos = entrance + (ws + k) / params.spawn_spacing_div * perp + jitter
         obs_collide = any(
             np.linalg.norm(o - pos) < 2.0 * (AGENT_SIZE + AGENT_SIZE)
@@ -401,6 +414,8 @@ def reset_parity_numpy(params: EnvParams, prev_phase: np.ndarray | None = None) 
     )
     if prev_phase is None:
         prev_phase = np.zeros((n,), np.int32)
+    if params.scenario == "v4oct":
+        fields["frozen_pos"] = jnp.asarray(agent_pos)
     return EnvState(
         agent_states=jnp.asarray(agent_states),
         prev_phase=jnp.asarray(prev_phase, jnp.int32),

@@ -234,3 +234,27 @@ def agent_phase(
     )
     new_prev = jnp.where(exited, 2, prev_phase)
     return phase.astype(prev_phase.dtype), new_prev
+
+
+def agent_phase_v4oct(tube: TubeParams, pos: Array) -> Array:
+    """v4oct ``get_agent_phase`` (v4oct:627-670) with ``previous_phase``
+    pinned at 0.
+
+    The reward code that would advance ``agent.previous_phase`` sits after an
+    unconditional ``return`` (v4oct:938-1146, dead), and ``get_agent_phase``'s
+    own 1->2 mutation requires prev==1, so prev stays 0 forever.  Effective
+    machine: phase 1 iff inside the tube AND inside the un-gated entrance
+    region (proj in [0, 0.1L), perp < width/2); otherwise 0.  Phase 2 is
+    unreachable.  ``is_in_tube_fast`` (v4oct:82-110) uses inclusive bounds
+    and NO epsilon, unlike july's eps=0.05 rectangle.
+    """
+    span = tube.exit - tube.entrance
+    L = jnp.linalg.norm(span)
+    direction = span / L
+    rel = pos - tube.entrance
+    proj = rel @ direction
+    perp = jnp.linalg.norm(rel - proj[..., None] * direction, axis=-1)
+    half = tube.width * 0.5
+    in_tube = (proj >= 0) & (proj <= L) & (perp <= half)
+    valid_entrance = (proj >= 0) & (proj < 0.1 * L) & (perp < half)
+    return (in_tube & valid_entrance).astype(jnp.int32)

@@ -109,6 +109,20 @@ class EnvParams:
         return 19
 
     @property
+    def spawn_jitter_range(self) -> float:
+        """Spawn jitter draw bound: U(-ws, ws) everywhere except v4oct's
+        hard-coded U(-10, 10) (v4oct:481)."""
+        return 10.0 if self.scenario == "v4oct" else self.world_size
+
+    @property
+    def fixed_tube_angle(self):
+        """v4oct pins the tube angle to -pi/2 instead of drawing it
+        (v4oct:547-548); None means draw U(-pi/2, pi/2) (july:530)."""
+        import math
+
+        return -math.pi / 2 if self.scenario == "v4oct" else None
+
+    @property
     def randomize_tube_length(self) -> bool:
         """two/three_phase draw length += U(-0.3ws, 0.1ws) (two_phase setup)."""
         return self.scenario in ("two_phase", "three_phase")
@@ -202,6 +216,13 @@ class EnvState:
     t: Array  # () int32 step counter (world.current_time_step)
     sim_time: Array  # ()
     key: Array  # jax PRNG key
+    # --- v4oct frozen position cache (None elsewhere) ---
+    # v4oct keys its position cache on a nonexistent ``world.step_count``
+    # (v4oct:334-341, getattr default 0), so the cache updates exactly once —
+    # at the construction-time observation probe — and is stale forever after
+    # (across steps AND episodes).  Neighbor selection in ``observation`` and
+    # agent-collision tests in ``reward`` consume these frozen positions.
+    frozen_pos: Optional[Array] = None  # (N, 2)
     # --- sequential-scenario extras (None elsewhere) ---
     tubes: Optional[TubeParams] = None  # stacked tubes, leading axis n_tubes
     current_tube: Optional[Array] = None  # (N,) int32 per-agent tube index

@@ -152,6 +152,24 @@ def make_ref_env(args, scenario="nav_metered_one_goal_graph_rotate_tube_july"):
 
     sc = scenario_mod.Scenario()
     world = sc.make_world(args)
+    if not hasattr(world, "world_aspect_ratio"):
+        # v4oct never sets world.world_aspect_ratio (commented out,
+        # v4oct:329) so MultiAgentGraphEnv's constructor crashes upstream
+        # (environment.py:37).  Shim july's default aspect ratio (1.0,
+        # july get_aspect_ratio_for_scenario) to execute the rest.
+        world.world_aspect_ratio = 1.0
+    if not hasattr(world, "with_background"):
+        world.with_background = False  # same gap (july:331-334 vs v4oct)
+    if "v4oct" in scenario:
+        # v4oct lazily creates agent.previous_phase only in the pre-tube
+        # branch (v4oct:645-647); an agent whose FIRST phase query finds it
+        # already inside the tube crashes upstream (AttributeError at
+        # v4oct:651).  Pre-seed the attribute with the same value the lazy
+        # init would use; prev stays 0 forever in v4oct (dead reward code),
+        # so this is behavior-neutral.
+        for a in world.agents:
+            if not hasattr(a, "previous_phase"):
+                a.previous_phase = 0
     env = env_mod.MultiAgentGraphEnv(
         world=world,
         reset_callback=sc.reset_world,

@@ -55,7 +55,8 @@ def test_build_env_and_model():
     cfg = build_model_config(args)
     assert cfg.max_edge_dist == args.max_edge_dist
     assert cfg.use_recurrent_policy  # rmappo default
-    args_m = parse_all(["--algorithm_name", "mappo"])
+    # mappo requires the recurrent flags off (train_mpe.py:130-133)
+    args_m = parse_all(["--algorithm_name", "mappo", "--use_recurrent_policy"])
     assert not build_model_config(args_m).use_recurrent_policy
 
 
@@ -87,3 +88,34 @@ def test_circumcenter_matches_reference():
         else:
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
             np.testing.assert_allclose(rgot, rwant, rtol=1e-6)
+
+
+def test_naive_recurrent_policy_flag():
+    """--use_naive_recurrent_policy trains on whole-episode sequences:
+    model stays recurrent, trainer chunk length == episode_length
+    (naive_recurrent_generator, graph_buffer.py:455-596)."""
+    from contracts_marl_aam_corridors_tpu.cli.train import build
+    from contracts_marl_aam_corridors_tpu.config.flags import parse_all
+
+    args = parse_all([
+        "--use_recurrent_policy",  # store_false -> off
+        "--use_naive_recurrent_policy",
+        "--num_agents", "3", "--episode_length", "7",
+    ])
+    assert not args.use_recurrent_policy and args.use_naive_recurrent_policy
+    env_params, policy, trainer, runner = build(args)
+    assert policy.cfg.use_recurrent_policy
+    assert trainer.data_chunk_length == 7
+
+
+def test_recurrent_flag_assertion():
+    """rmappo without any recurrent flag must fail (train_mpe.py:126-135)."""
+    import pytest
+
+    from contracts_marl_aam_corridors_tpu.config.flags import parse_all
+
+    with pytest.raises(AssertionError):
+        parse_all(["--use_recurrent_policy"])  # rmappo + both recurrent off
+    # mappo + recurrent on must also fail
+    with pytest.raises(AssertionError):
+        parse_all(["--algorithm_name", "mappo"])

@@ -27,6 +27,7 @@ REF_SCENARIO = {
     "rot_inv": "nav_graph_metered_single_corridor_rot_inv",
     "two_phase": "two_phase_graph",
     "three_phase": "three_phase_graph",
+    "v4oct": "nav_metered_one_goal_graph_rotate_tube_v4oct",
 }
 
 
@@ -74,8 +75,13 @@ def drive_parity(
     # --- ours: mirror the same global-stream consumption ---
     np.random.seed(seed)
     np.random.uniform(0.2, 0.4)  # make_world wall_length draw (july:312)
-    _ = reset_mod.reset_parity_numpy(params)  # construction-time reset_world
+    construction = reset_mod.reset_parity_numpy(params)  # construction reset_world
     state = reset_mod.reset_parity_numpy(params)  # training reset
+    if scenario == "v4oct":
+        # v4oct's position cache froze at the construction-time observation
+        # probe (environment.py:141-143 + v4oct:334-341) — NOT this episode's
+        # spawn; inject the construction positions
+        state = state.replace(frozen_pos=construction.frozen_pos)
     state, obs0, node0, adj0, _ = corridor.reset_outputs(params, state)
 
     # compare reset
@@ -162,3 +168,18 @@ def test_parity_three_phase():
 
 def test_parity_unicycle():
     drive_parity("unicycle_vehicle", 3, 0, 40, seed=2, steps=39)
+
+
+@pytest.mark.parametrize("seed", [0, 13])
+def test_parity_v4oct_unicycle(seed):
+    """v4oct (nav_metered_one_goal_graph_rotate_tube_v4oct) — NOT july:
+    fixed -pi/2 tube, +-10 jitter, frozen position cache, {0,1} phases,
+    uncipped simple reward.  No air_taxi branch upstream (v4oct:163-211), so
+    parity runs the unicycle and DI dynamics it supports."""
+    drive_parity("unicycle_vehicle", 3, 0, 40, seed=seed, steps=39,
+                 scenario="v4oct")
+
+
+def test_parity_v4oct_double_integrator():
+    drive_parity("double_integrator", 3, 0, 25, seed=4, steps=24,
+                 scenario="v4oct")
