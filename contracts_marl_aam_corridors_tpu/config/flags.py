@@ -99,6 +99,15 @@ def get_config() -> argparse.ArgumentParser:
     p.add_argument("--huber_delta", type=float, default=10.0)
     # run (config.py:296-320)
     p.add_argument("--use_linear_lr_decay", action="store_true")
+    # minibatch splitting (config.py:300-304): a torch GPU-memory workaround
+    # (GR_Actor.forward chunks the GNN batch) with no TPU analogue — the whole
+    # batch is one fused launch here.  Accepted but REJECTED when enabled so
+    # reference commands fail loudly instead of silently changing semantics.
+    p.add_argument("--split_batch", action="store_true")
+    p.add_argument("--max_batch_size", type=int, default=32)
+    # frame stacking (config.py:278-281): unused by every reference MPE/graph
+    # config; rejected when enabled.
+    p.add_argument("--use_comm", type=_bool, default=False)
     # save/log/eval/render (config.py:322-407)
     p.add_argument("--save_interval", type=int, default=1)
     p.add_argument("--log_interval", type=int, default=5)
@@ -114,7 +123,7 @@ def get_config() -> argparse.ArgumentParser:
     return p
 
 
-def graph_config(args, parser: argparse.ArgumentParser):
+def graph_config(args, parser: argparse.ArgumentParser, return_extras: bool = False):
     """GNN flags + auto minibatch sizing (config.py:409-484)."""
     parser.add_argument("--num_embeddings", type=int, default=4)
     parser.add_argument("--embedding_size", type=int, default=2)
@@ -150,7 +159,7 @@ def graph_config(args, parser: argparse.ArgumentParser):
     parser.add_argument("--fuse_gnn_trunks", type=_bool, default=False,
                         help="run actor+critic GNNs as one vmapped launch in "
                         "the PPO update (same math, fp-tolerance numerics)")
-    all_args = parser.parse_known_args(args)[0]
+    all_args, extras = parser.parse_known_args(args)
 
     if all_args.auto_mini_batch_size:
         # config.py:472-483
@@ -164,6 +173,8 @@ def graph_config(args, parser: argparse.ArgumentParser):
             ),
         )
         all_args.num_mini_batch = num_mini_batch
+    if return_extras:
+        return all_args, extras
     return all_args
 
 
@@ -204,10 +215,31 @@ def scenario_config(parser: argparse.ArgumentParser):
     return parser
 
 
+UNSUPPORTED_WHEN_SET = {
+    # flag -> why it is rejected rather than silently ignored
+    "split_batch": "GR_Actor minibatch splitting is a torch GPU-memory "
+    "workaround (graph_actor_critic.py:16); the TPU path runs the whole "
+    "batch as one fused launch",
+    "use_stacked_frames": "frame stacking is dead code upstream (no MPE "
+    "config uses it) and is not implemented here",
+    "use_comm": "communication actions are only consumed by the classic-MPE "
+    "speaker/listener scenarios (supported via env_name MPE), not the "
+    "corridor family",
+}
+
+
 def parse_all(argv=None) -> argparse.Namespace:
     parser = get_config()
     scenario_config(parser)
-    args = graph_config(argv, parser)
+    args, extras = graph_config(argv, parser, return_extras=True)
+    # unknown flags are an error, not a silent no-op (the reference's argparse
+    # also rejects unknown flags; parse_known_args is only used internally)
+    unknown = [e for e in extras if e.startswith("-")]
+    if unknown:
+        parser.error(f"unknown argument(s): {' '.join(unknown)}")
+    for flag, why in UNSUPPORTED_WHEN_SET.items():
+        if getattr(args, flag, False):
+            parser.error(f"--{flag} is not supported: {why}")
     # recurrent-flag consistency (train_mpe.py:126-135)
     if args.algorithm_name == "rmappo":
         assert args.use_recurrent_policy or args.use_naive_recurrent_policy, (

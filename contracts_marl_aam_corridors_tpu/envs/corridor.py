@@ -893,28 +893,38 @@ def _update_info_stats(params: EnvParams, state: EnvState, values: Array) -> Env
     dists_to_goal = state.dists_to_goal
     dist_left = state.dist_left_to_goal
 
+    # The reference initializes these three stat arrays with np.full(n, -1)
+    # — INTEGER dtype (july reset_world:368-373) — so every float stored into
+    # them silently truncates toward zero.  The logged Dist_to_goal /
+    # Time_req_to_goal / Dists_traveled metrics are therefore integer-valued
+    # upstream; replicate trunc-on-store (the comparisons below still use the
+    # fresh float distances, exactly like the reference reads world.dists).
+    t_time = jnp.trunc(t_time)
+    dist_goal_store = jnp.trunc(dist_goal)
+    p_dist_store = jnp.trunc(state.p_dist)
+
     # 1. new goal after having one
     c1 = near & (nearest != goal_reached) & (goal_reached != -1)
     goal_reached = jnp.where(c1, nearest, goal_reached)
-    dist_left = jnp.where(c1, dist_goal, dist_left)
+    dist_left = jnp.where(c1, dist_goal_store, dist_left)
     # 2. first time at a goal
     c2 = near & (times_required == -1)
     times_required = jnp.where(c2, t_time, times_required)
-    dists_to_goal = jnp.where(c2, state.p_dist, dists_to_goal)
-    dist_left = jnp.where(c2, dist_goal, dist_left)
+    dists_to_goal = jnp.where(c2, p_dist_store, dists_to_goal)
+    dist_left = jnp.where(c2, dist_goal_store, dist_left)
     goal_reached = jnp.where(c2, nearest, goal_reached)
     # 3. not yet reached
     c3 = times_required == -1
-    dists_to_goal = jnp.where(c3, state.p_dist, dists_to_goal)
-    dist_left = jnp.where(c3, dist_goal, dist_left)
+    dists_to_goal = jnp.where(c3, p_dist_store, dists_to_goal)
+    dist_left = jnp.where(c3, dist_goal_store, dist_left)
     # 4. left the goal
     c4 = (dist_goal > cfg.goal_threshold) & (times_required != -1)
-    dists_to_goal = jnp.where(c4, state.p_dist, dists_to_goal)
+    dists_to_goal = jnp.where(c4, p_dist_store, dists_to_goal)
     times_required = jnp.where(c4, t_time, times_required)
-    dist_left = jnp.where(c4, dist_goal, dist_left)
+    dist_left = jnp.where(c4, dist_goal_store, dist_left)
     # 5. still on the same goal
     c5 = near & (nearest == goal_reached)
-    dist_left = jnp.where(c5, dist_goal, dist_left)
+    dist_left = jnp.where(c5, dist_goal_store, dist_left)
 
     # collision counters (july:777-786)
     d_agents = dist_ops.pairwise_distances(pos)
@@ -933,6 +943,7 @@ def _update_info_stats(params: EnvParams, state: EnvState, values: Array) -> Env
         times_required=times_required,
         dists_to_goal=dists_to_goal,
         dist_left_to_goal=dist_left,
+        dist_left_float=dist_goal,
         num_agent_collisions=num_agent_collisions,
         num_obstacle_collisions=num_obstacle_collisions,
     )
@@ -949,6 +960,11 @@ def _info_dict(params: EnvParams, state: EnvState) -> dict:
     spacing_tot = jnp.sum(state.spacing_violation)
     return {
         "Dist_to_goal": state.dist_left_to_goal,
+        # ours-only precise float distance (the reference's Dist_to_goal is
+        # int-truncated by its np.full(n, -1) buffer — see _update_info_stats
+        # — which makes its own success criterion effectively dist < 1); the
+        # eval harness uses this strict value instead
+        "Dist_to_goal_precise": state.dist_left_float,
         "Time_req_to_goal": state.times_required,
         "Num_agent_collisions": state.num_agent_collisions,
         "Num_obst_collisions": state.num_obstacle_collisions,

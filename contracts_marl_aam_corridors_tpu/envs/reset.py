@@ -55,6 +55,7 @@ def _blank_state(params: EnvParams, tube: TubeParams, dtype) -> dict:
         times_required=jnp.full((n,), -1.0, dtype),
         dists_to_goal=jnp.full((n,), -1.0, dtype),
         dist_left_to_goal=jnp.full((n,), -1.0, dtype),
+        dist_left_float=jnp.full((n,), -1.0, dtype),
         num_agent_collisions=zf(n),
         num_obstacle_collisions=zf(n),
         goal_min_time=zf(n),

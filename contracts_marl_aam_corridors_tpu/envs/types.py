@@ -208,7 +208,8 @@ class EnvState:
     delta_spacing_sum: Array  # () running sum of per-call spacing errors
     times_required: Array  # (N,)
     dists_to_goal: Array  # (N,)
-    dist_left_to_goal: Array  # (N,)
+    dist_left_to_goal: Array  # (N,) int-truncated on store (reference parity)
+    dist_left_float: Array  # (N,) precise float distance (ours-only metric)
     num_agent_collisions: Array  # (N,)
     num_obstacle_collisions: Array  # (N,)
     goal_min_time: Array  # (N,)

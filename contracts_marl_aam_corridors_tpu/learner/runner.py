@@ -65,6 +65,9 @@ class Runner:
     episode_length: int
     use_centralized_v: bool = True
     dtype: object = jnp.float32
+    # HJ value-grid data for the air-taxi safety filter (safety/hj.py);
+    # threaded into every env step when EnvParams.use_safety_filter is set
+    hj_data: Optional[object] = None
 
     # ------------------------------------------------------------- helpers
     def _share(self, obs: Array) -> Array:
@@ -136,7 +139,7 @@ class Runner:
         unflat = lambda x: x.reshape((B, N) + x.shape[1:])
         actions_bn = unflat(actions)
 
-        env_state, step_ts = jax.vmap(partial(env_mod.step, self.env_params))(
+        env_state, step_ts = jax.vmap(partial(env_mod.step, self.env_params, hj_data=self.hj_data))(
             carry.env_state, actions_bn[..., 0]
         )
         dones = step_ts.done  # (B, N) terminal dones (pre auto-reset)
@@ -307,7 +310,7 @@ class Runner:
                 flat(c["agent_id"]), flat(c["h"]), flat(c["masks"]),
                 flat(avail), deterministic=True,
             )
-            env_state, st = jax.vmap(partial(env_mod.step, self.env_params))(
+            env_state, st = jax.vmap(partial(env_mod.step, self.env_params, hj_data=self.hj_data))(
                 c["env_state"], unflat(actions)[..., 0]
             )
             dones = st.done
@@ -333,7 +336,9 @@ class Runner:
 
         info = carry2["info"]
         thresh = jnp.asarray(self.env_params.cfg.goal_threshold, self.dtype)
-        success = (info["Dist_to_goal"] < thresh).astype(self.dtype)  # (B, N)
+        # strict float criterion (the reference's Dist_to_goal info value is
+        # int-truncated upstream; see corridor._info_dict)
+        success = (info["Dist_to_goal_precise"] < thresh).astype(self.dtype)  # (B, N)
         out = {
             "eval_average_episode_rewards": jnp.mean(carry2["ep_rew"]),
             "eval_success_rate": jnp.mean(success),

@@ -53,7 +53,8 @@ _BUFFER_AXES = RolloutBuffer(
 def _map_fields(buf: RolloutBuffer, fn, skip=("adj",)) -> RolloutBuffer:
     return buf.replace(**{
         f.name: fn(getattr(buf, f.name))
-        for f in dataclasses.fields(buf) if f.name not in skip
+        for f in dataclasses.fields(buf)
+        if f.name not in skip and getattr(buf, f.name) is not None
     })
 
 

@@ -101,11 +101,44 @@ def drive_parity(
     step_fn = jax.jit(partial(corridor.step, params))
     try:
         rng = np.random.RandomState(seed + 999)
+        freeze_events = 0
+        prev_status = np.zeros(num_agents, bool)
         for t in range(steps):
             acts = rng.randint(0, num_actions, size=num_agents)
             ref_out = env.step(ref_oracle.one_hot_actions(acts, num_actions))
             robs, rid, rnode, radj, rrew, rdone, rinfo = ref_out
             state, ts = step_fn(state, jnp.asarray(acts))
+
+            # ---- info parity (july info_callback:741-829) ----
+            # All logged metrics must match exactly EXCEPT the collision
+            # counters: the reference interleaves info_callback with the
+            # reward sweep, so counts around the exact step an agent freezes
+            # can differ by one per freeze event (documented at
+            # corridor._update_info_stats).  This asserts that bound.
+            status_now = np.asarray(state.status)
+            freeze_events += int((status_now & ~prev_status).sum())
+            prev_status = status_now
+            ours_info = {k: np.asarray(v) for k, v in ts.info.items()}
+            exact_keys = [
+                "Dist_to_goal", "Time_req_to_goal", "Dists_traveled",
+                "Time_taken", "Min_time_to_goal", "Conformance",
+                "Spacing_violations",
+            ]
+            for k in exact_keys:
+                if k not in rinfo[0]:
+                    continue
+                want = np.array([ri[k] for ri in rinfo], dtype=np.float64)
+                np.testing.assert_allclose(
+                    ours_info[k], want, atol=1e-9, rtol=0,
+                    err_msg=f"info[{k}] mismatch at step {t}",
+                )
+            for k in ("Num_agent_collisions", "Num_obst_collisions"):
+                want = np.array([ri[k] for ri in rinfo], dtype=np.float64)
+                diff = np.abs(ours_info[k] - want)
+                assert np.all(diff <= freeze_events), (
+                    f"info[{k}] diverged beyond the freeze-event bound at "
+                    f"step {t}: diff={diff} freeze_events={freeze_events}"
+                )
 
             np.testing.assert_allclose(
                 np.asarray(ts.obs), np.stack(robs), atol=1e-9, rtol=0,

@@ -297,3 +297,162 @@ def test_actor_fresh_init_runs_and_samples():
     assert logits.shape == (B, 5) and h.shape == (B, 1, 64)
     a = dist.sample(key, logits)
     assert a.shape == (B, 1)
+
+
+# ------------------------------------------------- GNN edge-case fixtures
+# VERDICT r1 item 9: torch_geometric is absent from this image, so these are
+# hand-verified edge-case traces of PyG's TransformerConv/EmbedConv message-
+# passing semantics (gnn_new.py:21-145, 247-301) — an INDEPENDENT scatter-
+# style numpy routine (edge lists, per-edge messages, per-target softmax,
+# written directly from the PyG TransformerConv equation) compared against
+# our dense masked implementation on adversarial graphs: isolated nodes,
+# fully-masked graphs, directed asymmetric edges, multi-head edge attention.
+
+
+def _np_transformer_conv(x, edges, p, H, C):
+    """PyG TransformerConv (beta=False, root_weight=True, edge_dim=1):
+    alpha_st = softmax_s((q_t . (k_s + W_e d_st)) / sqrt(C));
+    out_t = mean_h(sum_s alpha_st (v_s + W_e d_st)) + W_skip x_t + b_skip.
+    ``edges`` is a COO list of (s, t, d)."""
+    E = x.shape[0]
+    q = (x @ p["wq"] + p["bq"]).reshape(E, H, C)
+    k = (x @ p["wk"] + p["bk"]).reshape(E, H, C)
+    v = (x @ p["wv"] + p["bv"]).reshape(E, H, C)
+    out = np.zeros((E, H, C), np.float64)
+    for t in range(E):
+        srcs = [(s, d) for (s, tt, d) in edges if tt == t]
+        if not srcs:
+            continue
+        ke = np.stack([k[s] + d * p["we"].reshape(H, C) for s, d in srcs])
+        ve = np.stack([v[s] + d * p["we"].reshape(H, C) for s, d in srcs])
+        logits = (q[t][None] * ke).sum(-1) / np.sqrt(C)
+        a = np.exp(logits - logits.max(0, keepdims=True))
+        a = a / a.sum(0, keepdims=True)
+        out[t] = (a[..., None] * ve).sum(0)
+    return out.mean(1) + x @ p["wskip"] + p["bskip"]
+
+
+def _tc_params_as_np(params):
+    return {
+        "wq": np.asarray(params["lin_query"]["kernel"], np.float64),
+        "bq": np.asarray(params["lin_query"]["bias"], np.float64),
+        "wk": np.asarray(params["lin_key"]["kernel"], np.float64),
+        "bk": np.asarray(params["lin_key"]["bias"], np.float64),
+        "wv": np.asarray(params["lin_value"]["kernel"], np.float64),
+        "bv": np.asarray(params["lin_value"]["bias"], np.float64),
+        "we": np.asarray(params["lin_edge"], np.float64),
+        "wskip": np.asarray(params["lin_skip"]["kernel"], np.float64),
+        "bskip": np.asarray(params["lin_skip"]["bias"], np.float64),
+    }
+
+
+def _make_tc(seed=0, E=5, F=16, C=16):
+    from contracts_marl_aam_corridors_tpu.models.nets import (
+        TransformerConv,
+        adjacency_mask,
+    )
+
+    cfg = ModelConfig(max_edge_dist=2.0, compute_dtype="float32")
+    tc = TransformerConv(cfg, C)
+    rng = np.random.RandomState(seed)
+    x = rng.randn(E, F)
+    params = tc.init(
+        jax.random.PRNGKey(seed), jnp.asarray(x), jnp.ones((E, E), bool),
+        jnp.asarray(rng.rand(E, E)),
+    )["params"]
+    return tc, cfg, params, x, rng, adjacency_mask
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_tconv_matches_scatter_oracle_on_directed_graph(seed):
+    """Asymmetric directed adjacency, 3 heads, edge attention."""
+    tc, cfg, params, x, rng, adjacency_mask = _make_tc(seed)
+    E = x.shape[0]
+    adj = rng.rand(E, E) * 3.0  # some edges beyond max_edge_dist=2 -> masked
+    np.fill_diagonal(adj, 0.0)  # process_adj drops d == 0 (self)
+    mask, attr = adjacency_mask(jnp.asarray(adj), cfg.max_edge_dist)
+    ours = tc.apply({"params": params}, jnp.asarray(x), mask, attr)
+
+    edges = [(s, t, adj[s, t]) for s in range(E) for t in range(E)
+             if 0 < adj[s, t] < cfg.max_edge_dist]
+    want = _np_transformer_conv(x, edges, _tc_params_as_np(params), 3, 16)
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-5, atol=1e-5)
+
+
+def test_tconv_isolated_node_gets_skip_only():
+    """A node with no incoming edges receives zero messages: out = skip(x)
+    (PyG propagate sums an empty message set)."""
+    tc, cfg, params, x, rng, adjacency_mask = _make_tc(1)
+    E = x.shape[0]
+    adj = rng.rand(E, E) + 0.1
+    np.fill_diagonal(adj, 0.0)
+    adj[:, 2] = 0.0  # node 2: no in-edges (it still has OUT-edges)
+    mask, attr = adjacency_mask(jnp.asarray(adj), cfg.max_edge_dist)
+    ours = np.asarray(tc.apply({"params": params}, jnp.asarray(x), mask, attr))
+    p = _tc_params_as_np(params)
+    skip_only = x[2] @ p["wskip"] + p["bskip"]
+    np.testing.assert_allclose(ours[2], skip_only, rtol=1e-5, atol=1e-6)
+    # other nodes DO get messages (their rows differ from skip-only)
+    assert not np.allclose(ours[0], x[0] @ p["wskip"] + p["bskip"], atol=1e-3)
+
+
+def test_tconv_fully_masked_graph_is_skip_everywhere():
+    tc, cfg, params, x, _, adjacency_mask = _make_tc(2)
+    E = x.shape[0]
+    adj = np.full((E, E), 5.0)  # every distance beyond max_edge_dist
+    mask, attr = adjacency_mask(jnp.asarray(adj), cfg.max_edge_dist)
+    ours = np.asarray(tc.apply({"params": params}, jnp.asarray(x), mask, attr))
+    p = _tc_params_as_np(params)
+    np.testing.assert_allclose(ours, x @ p["wskip"] + p["bskip"], rtol=1e-5, atol=1e-6)
+
+
+def test_embedconv_isolated_and_fully_masked():
+    """EmbedConv has NO root/skip term (gnn_new.py:21-145 aggr='add' with
+    edge_attr given -> no self loop): an isolated node is exactly zero and a
+    fully-masked graph is all-zero."""
+    from contracts_marl_aam_corridors_tpu.models.nets import (
+        EmbedConv,
+        adjacency_mask,
+    )
+
+    cfg = ModelConfig(max_edge_dist=2.0, compute_dtype="float32")
+    ec = EmbedConv(cfg)
+    rng = np.random.RandomState(0)
+    E = 5
+    x = np.concatenate([rng.randn(E, 7), rng.randint(0, 3, (E, 1))], axis=1)
+    adj = rng.rand(E, E) + 0.1
+    np.fill_diagonal(adj, 0.0)
+    adj[:, 1] = 0.0  # node 1 isolated (no in-edges)
+    mask, attr = adjacency_mask(jnp.asarray(adj), cfg.max_edge_dist)
+    params = ec.init(jax.random.PRNGKey(0), jnp.asarray(x), mask, attr)["params"]
+    out = np.asarray(ec.apply({"params": params}, jnp.asarray(x), mask, attr))
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-7)
+    assert np.abs(out[0]).max() > 1e-3
+
+    mask0, attr0 = adjacency_mask(jnp.zeros((E, E)), cfg.max_edge_dist)
+    out0 = np.asarray(ec.apply({"params": params}, jnp.asarray(x), mask0, attr0))
+    np.testing.assert_allclose(out0, 0.0, atol=1e-7)
+
+
+def test_gnnbase_isolated_agent_end_to_end():
+    """Full GNNBase on a graph whose ego agent is isolated: the result must
+    equal running the same trunk on a graph with ONLY the ego node (messages
+    from unreachable nodes must not leak through any layer)."""
+    from contracts_marl_aam_corridors_tpu.models.nets import GNNBase
+
+    cfg = ModelConfig(max_edge_dist=2.0, compute_dtype="float32")
+    gnn = GNNBase(cfg, graph_aggr="node")
+    rng = np.random.RandomState(4)
+    E = 4
+    x = np.concatenate([rng.randn(E, 7), rng.randint(0, 3, (E, 1))], axis=1)
+    adj = rng.rand(E, E) + 0.1
+    np.fill_diagonal(adj, 0.0)
+    adj[:, 0] = 0.0
+    adj[0, :] = 0.0  # ego node 0 fully disconnected
+    aid = jnp.zeros((1,), jnp.int32)
+    params = gnn.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(adj), aid)["params"]
+    full = gnn.apply({"params": params}, jnp.asarray(x), jnp.asarray(adj), aid)
+    solo = gnn.apply(
+        {"params": params}, jnp.asarray(x[:1]), jnp.zeros((1, 1)), aid
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(solo), rtol=1e-5, atol=1e-6)
