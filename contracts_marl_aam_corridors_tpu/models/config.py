@@ -44,6 +44,12 @@ class ModelConfig:
     # numerics, 3x faster XLA compile) and as the measurement that closes the
     # tile-padding hypothesis (BENCH_NOTES.md).  Default OFF.
     gnn_edge_packed: bool = False
+    # GNN trunk implementation for the TRAINING-time evaluate_actions path:
+    # 'dense' = the vmapped per-graph flax modules; 'transposed' = the
+    # sublane-entity / lane-batch formulation (nets.gnn_transposed_apply) —
+    # same math to fp tolerance, measured 5.4x faster fwd+bwd at the PPO
+    # update batch (padded (…, E, F) tile traffic eliminated).
+    gnn_impl: str = "transposed"
     # Computation dtype for the GNN/MLP trunk ("float32" or "bfloat16").
     # Params stay float32; bf16 halves the HBM traffic of the edge-feature
     # tensors that dominate the training step.  Outputs (and the GRU head)

@@ -1,0 +1,556 @@
+"""Pallas VMEM-resident GNN trunk (EmbedConv + TransformerConv stack).
+
+Why this exists: the XLA lowering of the dense GNN keeps every intermediate in
+``(..., E, F)`` layouts whose trailing dims (6, 16) pad to (8, 128) TPU tiles
+— up to 21x wasted HBM traffic — and the round-1/2 measurements show the PPO
+update is bound by exactly that (BENCH_NOTES: trunks ~90% of the update;
+in-layer profile: attention ~80% of a TransformerConv layer; every XLA-level
+layout restructuring measured ~1.0x).  This kernel flips the layout: the
+BATCH lives in the lane dimension, entities/features in sublanes, so every
+tensor is dense-packed and the whole trunk for a block of samples runs out of
+VMEM in one kernel.
+
+The op structure is consolidated for Mosaic (v2): per-entity weights are
+expanded host-side into block-diagonal "big" matrices (kron with I_E) so each
+stage is ONE (rows, BLK) matmul instead of E or E^2 small ones; group
+LayerNorm and per-source reductions go through constant selection matrices
+(G/U/K below) instead of per-group slicing; the q/k/v projection for ALL
+entities and heads is one (3*E*H*C, E*C) matmul whose output rows are
+PERMUTED so every per-head source-stack is a contiguous (E*C, BLK) slice.
+
+Scope: forward pass of ``models.nets.GNNBase``'s compute core (per-node
+embeddings), numerically matching the flax implementation in float32.
+Reference semantics: gnn_new.py:21-145 (EmbedConv), :247-301 (TransformerConv
+with rank-1 edge term), :289-291 (stack).
+
+Layout contract (all float32):
+  src_aug_T:  (E*Ds, B)  per-entity EmbedConv input [feat, Embed(etype)],
+                         entity-major rows
+  adj_T:      (E*E, B)   distance adjacency, row s*E+t = d(s -> t)
+  output:     (E*C, B)   per-node embeddings, entity-major rows
+
+The kernel is generated per (E, Ds, H, C, n_layers, act) — all static — with
+Python-unrolled loops (Mosaic-friendly: strictly 2-D refs, 2-D dots).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_F32 = float(jnp.finfo(jnp.float32).min)
+LN_EPS = 1e-5
+
+
+def _dot(w, x):
+    return jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def make_gnn_forward_v2(
+    E: int,
+    Ds: int,
+    H: int,
+    C: int,
+    embed_layer_n: int,
+    gnn_layer_n: int,
+    max_edge_dist: float,
+    use_relu: bool,
+    blk: int = 512,
+    interpret: bool = False,
+):
+    """Build the pallas forward for a static GNN configuration.
+
+    Returns ``fwd(params_flat, src_aug_T, adj_T) -> (E*C, B) embeddings``
+    where ``params_flat`` is the tuple layout produced by
+    :func:`flatten_gnn_params`.
+    """
+    act = (lambda v: jnp.maximum(v, 0.0)) if use_relu else jnp.tanh
+    n_tc = 1 + gnn_layer_n
+    inv_sqrt_c = 1.0 / (C ** 0.5)
+    EC = E * C
+
+    def kernel(*refs):
+        # ref order: src_aug, adj, constants (Gm, Gs, U, K, T),
+        #            embed params, tc params x n_tc, out
+        src_ref, adj_ref = refs[0], refs[1]
+        Gm = refs[2][:]   # (E, E*C) group mean (1/C per group row)
+        Gs = refs[3][:]   # (E, E*C) group sum
+        U = refs[4][:]    # (E*C, E) broadcast group value up
+        K = refs[5][:]    # (C, E*C) sum across source groups
+        T = refs[6][:]    # (E*C, C) tile a (C, blk) block E times
+        p = 7
+        W1 = refs[p][:]; b1 = refs[p + 1][:]; w_e1 = refs[p + 2][:]
+        ln1_s = refs[p + 3][:]; ln1_b = refs[p + 4][:]
+        p += 5
+        embed_layers = []
+        for _ in range(embed_layer_n):
+            embed_layers.append(
+                (refs[p][:], refs[p + 1][:], refs[p + 2][:], refs[p + 3][:])
+            )
+            p += 4
+        tc_params = []
+        for _ in range(n_tc):
+            tc_params.append(
+                (refs[p][:], refs[p + 1][:], refs[p + 2][:], refs[p + 3][:], refs[p + 4][:])
+            )
+            p += 5
+        out_ref = refs[p]
+
+        def group_ln(M, scale_t, bias_t):
+            """Per-16-feature-group LayerNorm on an (E*C, blk) stack."""
+            mu = _dot(U, _dot(Gm, M))
+            d = M - mu
+            var = _dot(U, _dot(Gm, d * d))
+            return d * jax.lax.rsqrt(var + LN_EPS) * scale_t + bias_t
+
+        # ---- per-target edge columns (process_adj, gnn_new.py:328-358) ----
+        d_cols = []   # t -> (E, blk) raw distances d(s -> t)
+        m_cols = []   # t -> (E, blk) edge mask
+        dm_cols = []  # t -> (E, blk) masked distances
+        for t in range(E):
+            rows = [adj_ref[s * E + t, :][None, :] for s in range(E)]
+            d = jnp.concatenate(rows, axis=0)
+            m = ((d > 0.0) & (d < max_edge_dist)).astype(jnp.float32)
+            d_cols.append(d)
+            m_cols.append(m)
+            dm_cols.append(d * m)
+
+        # ---- EmbedConv ----
+        h_src = _dot(W1, src_ref[:]) + b1  # (E*C, blk); W1 block-diag, b1 tiled
+        x = []  # per-entity (C, blk)
+        for t in range(E):
+            dw = _dot(U, dm_cols[t]) * w_e1  # (E*C, blk)
+            m = group_ln(act(h_src + dw), ln1_s, ln1_b)
+            for (Wl, bl, lns, lnb) in embed_layers:
+                m = group_ln(act(_dot(Wl, m) + bl), lns, lnb)
+            mask_up = _dot(U, m_cols[t])
+            x.append(_dot(K, m * mask_up))  # sum_s mask * msg
+
+        # ---- TransformerConv stack ----
+        for (Wbig, bbig, w_e_t, Wskip, bskip) in tc_params:
+            X = jnp.concatenate(x, axis=0)  # (E*C, blk) entity-major
+            QKV = _dot(Wbig, X) + bbig  # (3*E*H*C, blk), permuted layout:
+            #   Q rows:  t*H*C + h*C + c
+            #   K rows:  EHC + h*E*C + s*C + c   (per-head source stacks)
+            #   V rows:  2*EHC + h*E*C + s*C + c
+            EHC = E * H * C
+            new_x = []
+            for t in range(E):
+                dm_up = _dot(U, dm_cols[t])  # (E*C, blk)
+                head_sum = jnp.zeros((C, blk), jnp.float32)
+                for h in range(H):
+                    weh_up = w_e_t[h * EC:(h + 1) * EC, :]  # (E*C, 1) tiled
+                    q = QKV[t * H * C + h * C: t * H * C + (h + 1) * C, :]
+                    Kh = QKV[EHC + h * EC: EHC + (h + 1) * EC, :]
+                    Vh = QKV[2 * EHC + h * EC: 2 * EHC + (h + 1) * EC, :]
+                    edge_term = dm_up * weh_up
+                    q_up = _dot(T, q)
+                    logits = _dot(Gs, q_up * (Kh + edge_term)) * inv_sqrt_c
+                    logits = jnp.where(m_cols[t] > 0, logits, NEG_F32)
+                    mx = jnp.max(logits, axis=0, keepdims=True)
+                    ex = jnp.exp(logits - mx)
+                    alpha = ex / jnp.sum(ex, axis=0, keepdims=True)
+                    alpha = alpha * jnp.max(m_cols[t], axis=0, keepdims=True)
+                    alpha_up = _dot(U, alpha)
+                    head_sum = head_sum + _dot(K, alpha_up * (Vh + edge_term))
+                new_x.append(head_sum / H)
+            skip = _dot(Wskip, X) + bskip  # (E*C, blk)
+            x = [
+                act(new_x[t] + skip[t * C:(t + 1) * C, :]) for t in range(E)
+            ]
+
+        out_ref[:] = jnp.concatenate(x, axis=0)
+
+    def fwd(params_flat: Sequence[Array], src_aug_T: Array, adj_T: Array) -> Array:
+        B = src_aug_T.shape[-1]
+        assert B % blk == 0, (B, blk)
+        grid = (B // blk,)
+        batch_spec = lambda rows: pl.BlockSpec(
+            (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        const_spec = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        consts = _constants(E, C)
+        in_specs = [batch_spec(E * Ds), batch_spec(E * E)]
+        in_specs += [const_spec(c.shape) for c in consts]
+        in_specs += [const_spec(pf.shape) for pf in params_flat]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=batch_spec(E * C),
+            out_shape=jax.ShapeDtypeStruct((E * C, B), jnp.float32),
+            interpret=interpret,
+        )(src_aug_T, adj_T, *consts, *params_flat)
+
+    return fwd
+
+
+def _constants(E: int, C: int):
+    """Selection/broadcast matrices for group ops (all f32)."""
+    I_E = np.eye(E, dtype=np.float32)
+    I_C = np.eye(C, dtype=np.float32)
+    ones_C = np.ones((1, C), np.float32)
+    Gm = np.kron(I_E, ones_C) / C          # (E, E*C) group mean
+    Gs = np.kron(I_E, ones_C)              # (E, E*C) group sum
+    U = np.kron(I_E, np.ones((C, 1), np.float32))  # (E*C, E)
+    K = np.kron(np.ones((1, E), np.float32), I_C)  # (C, E*C)
+    T = np.kron(np.ones((E, 1), np.float32), I_C)  # (E*C, C)
+    return tuple(jnp.asarray(a) for a in (Gm, Gs, U, K, T))
+
+
+def flatten_gnn_params_v2(params: dict, E: int, H: int, C: int,
+                          embed_layer_n: int, gnn_layer_n: int):
+    """Flax GNNBase param tree -> the flat (2-D, kernel-ready) tuple.
+
+    Per-entity weight sharing is expanded into block-diagonal matrices
+    (kron(I_E, W^T)); biases/LN vectors are tiled to (E*C, 1) columns; the
+    qkv projection becomes one big matrix with the PERMUTED output layout the
+    kernel expects (Q grouped by target entity+head, K/V grouped by head with
+    contiguous per-head source stacks).
+    """
+    f32 = lambda v: np.asarray(v, np.float32)
+    I_E = np.eye(E, dtype=np.float32)
+    tile = lambda v: jnp.asarray(np.tile(f32(v).reshape(-1, 1), (E, 1)))
+    blockdiag = lambda w: jnp.asarray(np.kron(I_E, f32(w).T))
+
+    ec = params["embed_layer"]
+    flat = [
+        blockdiag(ec["lin1"]["kernel"]), tile(ec["lin1"]["bias"]),
+        tile(np.asarray(ec["lin1_edge"]).reshape(-1)),
+        tile(ec["ln1"]["scale"]), tile(ec["ln1"]["bias"]),
+    ]
+    for i in range(embed_layer_n):
+        flat += [
+            blockdiag(ec[f"lin{i + 2}"]["kernel"]), tile(ec[f"lin{i + 2}"]["bias"]),
+            tile(ec[f"ln{i + 2}"]["scale"]), tile(ec[f"ln{i + 2}"]["bias"]),
+        ]
+    EHC, EC = E * H * C, E * C
+    for name in ["gnn1"] + [f"gnn2_{i}" for i in range(gnn_layer_n)]:
+        tc = params[name]
+        Wq, Wk, Wv = (f32(tc[k]["kernel"]) for k in ("lin_query", "lin_key", "lin_value"))
+        bq, bk, bv = (f32(tc[k]["bias"]) for k in ("lin_query", "lin_key", "lin_value"))
+        Wbig = np.zeros((3 * EHC, EC), np.float32)
+        bbig = np.zeros((3 * EHC, 1), np.float32)
+        for e in range(E):
+            # Q rows: t*H*C + h*C + c  <- Wq[:, h*C + c] against cols e*C..
+            Wbig[e * H * C:(e + 1) * H * C, e * C:(e + 1) * C] = Wq.T
+            bbig[e * H * C:(e + 1) * H * C, 0] = bq
+            for h in range(H):
+                # K rows: EHC + h*EC + s*C + c
+                r0 = EHC + h * EC + e * C
+                Wbig[r0:r0 + C, e * C:(e + 1) * C] = Wk[:, h * C:(h + 1) * C].T
+                bbig[r0:r0 + C, 0] = bk[h * C:(h + 1) * C]
+                r0 = 2 * EHC + h * EC + e * C
+                Wbig[r0:r0 + C, e * C:(e + 1) * C] = Wv[:, h * C:(h + 1) * C].T
+                bbig[r0:r0 + C, 0] = bv[h * C:(h + 1) * C]
+        w_e = f32(tc["lin_edge"]).reshape(H, C)
+        w_e_tiled = np.concatenate(
+            [np.tile(w_e[h].reshape(-1, 1), (E, 1)) for h in range(H)], axis=0
+        )  # (H*E*C, 1)
+        flat += [
+            jnp.asarray(Wbig), jnp.asarray(bbig), jnp.asarray(w_e_tiled),
+            blockdiag(tc["lin_skip"]["kernel"]), tile(tc["lin_skip"]["bias"]),
+        ]
+    return tuple(flat)
+
+
+def build_inputs(cfg, params: dict, node_obs: Array, adj: Array):
+    """(B, E, F) node_obs + (B, E, E) adj -> kernel layout inputs.
+
+    One XLA transpose each — this is the only place the padded (…, E, F)
+    layout is read.  The entity-type embedding lookup happens here (it is a
+    gather over a 4-row table; trivial for XLA).  In the PPO update these
+    transposes run ONCE per rollout (the inputs are constant across epochs).
+    """
+    B, E, F = node_obs.shape
+    feat = node_obs[..., :-1].astype(jnp.float32)
+    etype = node_obs[..., -1].astype(jnp.int32)
+    emb = params["embed_layer"]["entity_embed"]["embedding"].astype(jnp.float32)
+    src = jnp.concatenate([feat, emb[etype]], axis=-1)  # (B, E, Ds)
+    src_T = jnp.transpose(src, (1, 2, 0)).reshape(E * src.shape[-1], B)
+    adj_T = jnp.transpose(adj.astype(jnp.float32), (1, 2, 0)).reshape(E * E, B)
+    return src_T, adj_T
+
+def make_gnn_forward(
+    E: int,
+    Ds: int,
+    H: int,
+    C: int,
+    embed_layer_n: int,
+    gnn_layer_n: int,
+    max_edge_dist: float,
+    use_relu: bool,
+    blk: int = 512,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Straightforward fully-unrolled variant — MEASURED FASTER than the
+    matmul-consolidated v2 (36 vs 97 ms at 76.8K graphs; the small MXU ops
+    v2 introduces cost more than the VPU ops they replace).
+
+    Returns ``fwd(params_flat, src_aug_T, adj_T) -> (E*C, B)`` with
+    ``params_flat`` from :func:`flatten_gnn_params`.
+    """
+    act = (lambda v: jnp.maximum(v, 0.0)) if use_relu else jnp.tanh
+    n_tc = 1 + gnn_layer_n
+    cdt = compute_dtype
+    inv_sqrt_c = float(1.0 / (C ** 0.5))
+
+    def kernel(*refs):
+        src_ref, adj_ref = refs[0], refs[1]
+        p = 2
+        W1 = refs[p][:].astype(cdt); b1 = refs[p + 1][:].astype(cdt)
+        w_e1 = refs[p + 2][:].astype(cdt)
+        ln1_s = refs[p + 3][:].astype(cdt); ln1_b = refs[p + 4][:].astype(cdt)
+        p += 5
+        embed_layers = []
+        for _ in range(embed_layer_n):
+            embed_layers.append(tuple(refs[p + j][:].astype(cdt) for j in range(4)))
+            p += 4
+        tc_params = []
+        for _ in range(n_tc):
+            tc_params.append(tuple(refs[p + j][:].astype(cdt) for j in range(5)))
+            p += 5
+        out_ref = refs[p]
+
+        def ln(m, scale, bias):
+            mu = jnp.mean(m, axis=0, keepdims=True)
+            d = m - mu
+            var = jnp.mean(d * d, axis=0, keepdims=True)
+            return d * jax.lax.rsqrt(var + LN_EPS) * scale[:, 0][:, None] + bias[:, 0][:, None]
+
+        def dot(w, x):
+            # MXU accumulates in f32 (bf16 accumulators are rejected)
+            r = jax.lax.dot_general(
+                w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return r.astype(cdt)
+
+        d_rows, m_rows = [], []
+        for s in range(E):
+            for t in range(E):
+                d = adj_ref[s * E + t, :][None, :].astype(cdt)
+                m = ((d > 0.0) & (d < max_edge_dist)).astype(cdt)
+                d_rows.append(d * m)
+                m_rows.append(m)
+
+        h_src = []
+        for s in range(E):
+            xs = src_ref[s * Ds:(s + 1) * Ds, :].astype(cdt)
+            h_src.append(dot(W1, xs) + b1[:, 0][:, None])
+        x = []
+        for t in range(E):
+            acc = jnp.zeros((C, blk), cdt)
+            for s in range(E):
+                d = d_rows[s * E + t]
+                m = ln(act(h_src[s] + d * w_e1[:, 0][:, None]), ln1_s, ln1_b)
+                for (Wl, bl, lns, lnb) in embed_layers:
+                    m = ln(act(dot(Wl, m) + bl[:, 0][:, None]), lns, lnb)
+                acc = acc + m_rows[s * E + t] * m
+            x.append(acc)
+
+        neg = jnp.asarray(jnp.finfo(cdt).min, cdt)
+        for (Wqkv, bqkv, w_e, Wskip, bskip) in tc_params:
+            qkv = [dot(Wqkv, x[e]) + bqkv[:, 0][:, None] for e in range(E)]
+            new_x = []
+            for t in range(E):
+                head_sum = jnp.zeros((C, blk), cdt)
+                for h in range(H):
+                    q = qkv[t][h * C:(h + 1) * C, :]
+                    weh = w_e[h * C:(h + 1) * C, 0][:, None]
+                    logits = []
+                    for s in range(E):
+                        k = qkv[s][H * C + h * C:H * C + (h + 1) * C, :]
+                        d = d_rows[s * E + t]
+                        l = jnp.sum(q * (k + d * weh), axis=0, keepdims=True) * inv_sqrt_c
+                        logits.append(jnp.where(m_rows[s * E + t] > 0, l, neg))
+                    L = jnp.concatenate(logits, axis=0)
+                    mx = jnp.max(L, axis=0, keepdims=True)
+                    ex = jnp.exp(L - mx)
+                    alpha = ex / jnp.sum(ex, axis=0, keepdims=True)
+                    any_edge = m_rows[0 * E + t]
+                    for s in range(1, E):
+                        any_edge = jnp.maximum(any_edge, m_rows[s * E + t])
+                    alpha = alpha * any_edge
+                    o = jnp.zeros((C, blk), cdt)
+                    ad = jnp.zeros((1, blk), cdt)
+                    for s in range(E):
+                        a_s = alpha[s, :][None, :]
+                        v = qkv[s][2 * H * C + h * C:2 * H * C + (h + 1) * C, :]
+                        o = o + a_s * v
+                        ad = ad + a_s * d_rows[s * E + t]
+                    o = o + ad * weh
+                    head_sum = head_sum + o
+                out_t = head_sum / H + dot(Wskip, x[t]) + bskip[:, 0][:, None]
+                new_x.append(out_t)
+            x = [act(v) for v in new_x]
+
+        out_ref[:] = jnp.concatenate(x, axis=0).astype(jnp.float32)
+
+    def fwd(params_flat: Sequence[Array], src_aug_T: Array, adj_T: Array) -> Array:
+        B = src_aug_T.shape[-1]
+        assert B % blk == 0, (B, blk)
+        grid = (B // blk,)
+        batch_spec = lambda rows: pl.BlockSpec(
+            (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        const_spec = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [batch_spec(E * Ds), batch_spec(E * E)]
+        in_specs += [const_spec(pf.shape) for pf in params_flat]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=batch_spec(E * C),
+            out_shape=jax.ShapeDtypeStruct((E * C, B), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+        )(src_aug_T, adj_T, *params_flat)
+
+    return fwd
+
+
+def flatten_gnn_params(params: dict, embed_layer_n: int, gnn_layer_n: int):
+    """Flax GNNBase param tree -> flat tuple for :func:`make_gnn_forward`.
+
+    Vectors become (dim, 1) columns (TPU refs must be 2-D); dense kernels are
+    transposed to (out, in); qkv kernels pre-concatenated (q|k|v) like the
+    fused-qkv flax path (bit-exact column-block concat).
+    """
+    col = lambda v: jnp.asarray(v, jnp.float32).reshape(-1, 1)
+    tr = lambda w: jnp.asarray(w, jnp.float32).T
+    ec = params["embed_layer"]
+    flat = [
+        tr(ec["lin1"]["kernel"]), col(ec["lin1"]["bias"]),
+        col(params["embed_layer"]["lin1_edge"]),
+        col(ec["ln1"]["scale"]), col(ec["ln1"]["bias"]),
+    ]
+    for i in range(embed_layer_n):
+        flat += [
+            tr(ec[f"lin{i + 2}"]["kernel"]), col(ec[f"lin{i + 2}"]["bias"]),
+            col(ec[f"ln{i + 2}"]["scale"]), col(ec[f"ln{i + 2}"]["bias"]),
+        ]
+    for name in ["gnn1"] + [f"gnn2_{i}" for i in range(gnn_layer_n)]:
+        tc = params[name]
+        wqkv = jnp.concatenate(
+            [tc["lin_query"]["kernel"], tc["lin_key"]["kernel"], tc["lin_value"]["kernel"]],
+            axis=1,
+        )
+        bqkv = jnp.concatenate(
+            [tc["lin_query"]["bias"], tc["lin_key"]["bias"], tc["lin_value"]["bias"]]
+        )
+        flat += [
+            tr(wqkv), col(bqkv), col(tc["lin_edge"]),
+            tr(tc["lin_skip"]["kernel"]), col(tc["lin_skip"]["bias"]),
+        ]
+    return tuple(flat)
+
+
+
+def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
+                           max_edge_dist, use_relu,
+                           params_flat, src_aug_T, adj_T,
+                           compute_dtype=jnp.float32):
+    """The v1 kernel body as PLAIN XLA on the transposed (rows, B) layout.
+
+    Same unrolled 2-D structure as the pallas kernel but differentiable —
+    if XLA schedules it comparably, the backward comes for free.
+    """
+    act = (lambda v: jnp.maximum(v, 0.0)) if use_relu else jnp.tanh
+    cdt = compute_dtype
+    inv_sqrt_c = float(1.0 / (C ** 0.5))
+    B = src_aug_T.shape[-1]
+
+    refs = [x.astype(cdt) for x in params_flat]
+    p = 0
+    W1, b1, w_e1, ln1_s, ln1_b = refs[p:p + 5]; p += 5
+    embed_layers = []
+    for _ in range(embed_layer_n):
+        embed_layers.append(tuple(refs[p:p + 4])); p += 4
+    tc_params = []
+    for _ in range(1 + gnn_layer_n):
+        tc_params.append(tuple(refs[p:p + 5])); p += 5
+
+    def ln(m, scale, bias):
+        mu = jnp.mean(m, axis=0, keepdims=True)
+        d = m - mu
+        var = jnp.mean(d * d, axis=0, keepdims=True)
+        return d * jax.lax.rsqrt(var + LN_EPS) * scale[:, 0][:, None] + bias[:, 0][:, None]
+
+    def dot(w, x):
+        return jax.lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(cdt)
+
+    d_rows, m_rows = [], []
+    for s in range(E):
+        for t in range(E):
+            d = adj_T[s * E + t, :][None, :].astype(cdt)
+            m = ((d > 0.0) & (d < max_edge_dist)).astype(cdt)
+            d_rows.append(d * m)
+            m_rows.append(m)
+
+    h_src = [
+        dot(W1, src_aug_T[s * Ds:(s + 1) * Ds, :].astype(cdt)) + b1[:, 0][:, None]
+        for s in range(E)
+    ]
+    x = []
+    for t in range(E):
+        acc = jnp.zeros((C, B), cdt)
+        for s in range(E):
+            d = d_rows[s * E + t]
+            m = ln(act(h_src[s] + d * w_e1[:, 0][:, None]), ln1_s, ln1_b)
+            for (Wl, bl, lns, lnb) in embed_layers:
+                m = ln(act(dot(Wl, m) + bl[:, 0][:, None]), lns, lnb)
+            acc = acc + m_rows[s * E + t] * m
+        x.append(acc)
+
+    neg = jnp.asarray(jnp.finfo(cdt).min, cdt)
+    for (Wqkv, bqkv, w_e, Wskip, bskip) in tc_params:
+        qkv = [dot(Wqkv, x[e]) + bqkv[:, 0][:, None] for e in range(E)]
+        new_x = []
+        for t in range(E):
+            head_sum = jnp.zeros((C, B), cdt)
+            for h in range(H):
+                q = qkv[t][h * C:(h + 1) * C, :]
+                weh = w_e[h * C:(h + 1) * C, 0][:, None]
+                logits = []
+                for s in range(E):
+                    k = qkv[s][H * C + h * C:H * C + (h + 1) * C, :]
+                    d = d_rows[s * E + t]
+                    l = jnp.sum(q * (k + d * weh), axis=0, keepdims=True) * inv_sqrt_c
+                    logits.append(jnp.where(m_rows[s * E + t] > 0, l, neg))
+                L = jnp.concatenate(logits, axis=0)
+                mx = jnp.max(L, axis=0, keepdims=True)
+                ex = jnp.exp(L - mx)
+                alpha = ex / jnp.sum(ex, axis=0, keepdims=True)
+                any_edge = m_rows[t]
+                for s in range(1, E):
+                    any_edge = jnp.maximum(any_edge, m_rows[s * E + t])
+                alpha = alpha * any_edge
+                o = jnp.zeros((C, B), cdt)
+                ad = jnp.zeros((1, B), cdt)
+                for s in range(E):
+                    a_s = alpha[s, :][None, :]
+                    v = qkv[s][2 * H * C + h * C:2 * H * C + (h + 1) * C, :]
+                    o = o + a_s * v
+                    ad = ad + a_s * d_rows[s * E + t]
+                o = o + ad * weh
+                head_sum = head_sum + o
+            new_x.append(head_sum / H + dot(Wskip, x[t]) + bskip[:, 0][:, None])
+        x = [act(v) for v in new_x]
+    return jnp.concatenate(x, axis=0).astype(jnp.float32)

@@ -44,7 +44,8 @@ def timed(fn, *args, n=20, warm=3):
 
 def main():
     import sys
-    only = sys.argv[1] if len(sys.argv) > 1 else "all"
+    only_list = sys.argv[1:] or ["all"]
+    only = None
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, E, F), jnp.float32)
     adjd = jax.random.uniform(key, (B, E, E), jnp.float32, 0.1, 2.0)
@@ -57,8 +58,9 @@ def main():
         out = jax.vmap(lambda xi, mi, ai: tc.apply({"params": p}, xi, mi, ai))(x, m, a)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    g_full = jax.jit(jax.grad(full_loss))
-    if only in ("all", "full"): print(f"full TC fwd+bwd: {timed(g_full, params, x, mask, adjd):8.1f} ms")
+    if set(only_list) & {"all", "full"}:
+        g_full = jax.jit(jax.grad(full_loss))
+        print(f"full TC fwd+bwd: {timed(g_full, params, x, mask, adjd):8.1f} ms", flush=True)
 
     # qkv only
     wq = params["lin_query"]["kernel"]; bq = params["lin_query"]["bias"]
@@ -73,8 +75,9 @@ def main():
         qkv = x.astype(jnp.bfloat16) @ w + b
         return jnp.sum(qkv.astype(jnp.float32) ** 2)
 
-    g_qkv = jax.jit(jax.grad(qkv_loss))
-    if only in ("all", "qkv"): print(f"qkv GEMM fwd+bwd: {timed(g_qkv, params, x):8.1f} ms")
+    if set(only_list) & {"all", "qkv"}:
+        g_qkv = jax.jit(jax.grad(qkv_loss))
+        print(f"qkv GEMM fwd+bwd: {timed(g_qkv, params, x):8.1f} ms", flush=True)
 
     # skip only
     def skip_loss(p, x):
@@ -82,8 +85,9 @@ def main():
         b = p["lin_skip"]["bias"].astype(jnp.bfloat16)
         return jnp.sum((x.astype(jnp.bfloat16) @ w + b).astype(jnp.float32) ** 2)
 
-    g_skip = jax.jit(jax.grad(skip_loss))
-    if only in ("all", "skip"): print(f"skip GEMM fwd+bwd: {timed(g_skip, params, x):8.1f} ms")
+    if set(only_list) & {"all", "skip"}:
+        g_skip = jax.jit(jax.grad(skip_loss))
+        print(f"skip GEMM fwd+bwd: {timed(g_skip, params, x):8.1f} ms", flush=True)
 
     # attention core only (from precomputed q/k/v in bf16)
     q = jax.random.normal(key, (B, H, E, C), jnp.bfloat16)
@@ -101,8 +105,9 @@ def main():
         out = out + jnp.sum(alpha * d_ts[:, None], axis=-1)[..., None] * w_e[None, :, None, :]
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    g_attn = jax.jit(jax.grad(attn_loss, argnums=(0, 1, 2)))
-    if only in ("all", "attn"): print(f"attention core fwd+bwd: {timed(g_attn, q, k, v):8.1f} ms")
+    if set(only_list) & {"all", "attn"}:
+        g_attn = jax.jit(jax.grad(attn_loss, argnums=(0, 1, 2)))
+        print(f"attention core fwd+bwd: {timed(g_attn, q, k, v):8.1f} ms", flush=True)
 
     # batch-minor attention prototype: B in the LAST (lane) dim
     qT = jnp.moveaxis(q, 0, -1)  # (H,E,C,B)
@@ -119,11 +124,12 @@ def main():
         ex = jnp.exp(logits - m)
         alpha = ex / jnp.sum(ex, axis=2, keepdims=True)
         out = jnp.einsum("htsb,hscb->htcb", alpha, vT)
-        out = out + jnp.einsum("htsb,tsb->htb", alpha, dT)[:, :, None, :] * w_e[..., None]
+        out = out + jnp.einsum("htsb,tsb->htb", alpha, dT)[:, :, None, :] * w_e[:, None, :, None]
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    g_bm = jax.jit(jax.grad(attn_bm_loss, argnums=(0, 1, 2)))
-    if only in ("all", "bm"): print(f"attention batch-minor fwd+bwd: {timed(g_bm, qT, kT, vT):8.1f} ms")
+    if set(only_list) & {"all", "bm"}:
+        g_bm = jax.jit(jax.grad(attn_bm_loss, argnums=(0, 1, 2)))
+        print(f"attention batch-minor fwd+bwd: {timed(g_bm, qT, kT, vT):8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

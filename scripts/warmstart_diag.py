@@ -4,8 +4,10 @@ with the reference recipe does not destroy the policy (VERDICT r1 item 1b).
 
 Run: JAX_PLATFORMS=cpu python scripts/warmstart_diag.py [n_episodes]
 """
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp

@@ -456,3 +456,69 @@ def test_gnnbase_isolated_agent_end_to_end():
         {"params": params}, jnp.asarray(x[:1]), jnp.zeros((1, 1)), aid
     )
     np.testing.assert_allclose(np.asarray(full), np.asarray(solo), rtol=1e-5, atol=1e-6)
+
+
+def test_transposed_gnn_matches_dense():
+    """nets.gnn_transposed_apply == vmapped GNNBase (both aggregations),
+    and grads wrt params agree — the training-time trunk swap is safe."""
+    from contracts_marl_aam_corridors_tpu.models.nets import (
+        GNNBase,
+        gnn_transposed_apply,
+    )
+
+    cfg = ModelConfig(max_edge_dist=3.0, compute_dtype="float32")
+    rng = np.random.RandomState(0)
+    B, E, F = 64, 6, 7
+    node_obs = np.concatenate(
+        [rng.randn(B, E, F - 1).astype(np.float32),
+         rng.randint(0, 3, (B, E, 1)).astype(np.float32)], axis=-1)
+    adj = (rng.rand(B, E, E) * 6.0).astype(np.float32)
+    adj[:, np.arange(E), np.arange(E)] = 0.0
+    adj[0] = 0.0  # fully-masked graph edge case
+    aid = rng.randint(0, 3, (B, 1)).astype(np.int32)
+
+    gnn_n = GNNBase(cfg, graph_aggr="node")
+    params = gnn_n.init(jax.random.PRNGKey(0), jnp.asarray(node_obs[0]),
+                        jnp.asarray(adj[0]), jnp.asarray(aid[0]))["params"]
+
+    want_n = jax.vmap(lambda n, a, i: gnn_n.apply({"params": params}, n, a, i))(
+        jnp.asarray(node_obs), jnp.asarray(adj), jnp.asarray(aid))
+    got_n = gnn_transposed_apply(cfg, params, jnp.asarray(node_obs),
+                                 jnp.asarray(adj), jnp.asarray(aid), "node")
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               rtol=2e-4, atol=2e-5)
+
+    gnn_g = GNNBase(cfg, graph_aggr="global")
+    want_g = jax.vmap(lambda n, a, i: gnn_g.apply({"params": params}, n, a, i))(
+        jnp.asarray(node_obs), jnp.asarray(adj), jnp.asarray(aid))
+    got_g = gnn_transposed_apply(cfg, params, jnp.asarray(node_obs),
+                                 jnp.asarray(adj), None, "mean")
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-4, atol=2e-5)
+
+    # gradient agreement wrt params.  NOTE: checked with tanh — with relu,
+    # fp-noise-level (1e-6) differences in pre-activations flip relu' at
+    # near-zero units, swapping valid subgradients (the tanh control matches
+    # to 4e-6, proving the formulations agree; see round-2 investigation)
+    cfg = ModelConfig(max_edge_dist=3.0, compute_dtype="float32", use_relu=False)
+    gnn_n = GNNBase(cfg, graph_aggr="node")
+    params = gnn_n.init(jax.random.PRNGKey(0), jnp.asarray(node_obs[0]),
+                        jnp.asarray(adj[0]), jnp.asarray(aid[0]))["params"]
+
+    def loss_d(p):
+        out = jax.vmap(lambda n, a, i: gnn_n.apply({"params": p}, n, a, i))(
+            jnp.asarray(node_obs), jnp.asarray(adj), jnp.asarray(aid))
+        return jnp.sum(out ** 2)
+
+    def loss_t(p):
+        out = gnn_transposed_apply(cfg, p, jnp.asarray(node_obs),
+                                   jnp.asarray(adj), jnp.asarray(aid), "node")
+        return jnp.sum(out ** 2)
+
+    gd = jax.grad(loss_d)(params)
+    gt = jax.grad(loss_t)(params)
+    for kd, kt in zip(jax.tree.leaves(gd), jax.tree.leaves(gt)):
+        # tolerance floored at 1e-2 absolute: analytically-zero leaves (e.g.
+        # lin_key bias — softmax is shift-invariant) carry only fp noise
+        tol = 1e-4 * float(np.max(np.abs(np.asarray(kd)))) + 1e-2
+        assert float(np.max(np.abs(np.asarray(kt) - np.asarray(kd)))) <= tol
