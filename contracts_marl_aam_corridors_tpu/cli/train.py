@@ -79,6 +79,22 @@ def build(args):
         use_gae=args.use_gae,
         use_proper_time_limits=args.use_proper_time_limits,
     )
+    # HJ value data for the air-taxi safety filter (train_mpe.py:104-116);
+    # the reference's pickle is absent upstream, so fall back to the
+    # synthetic distance-based table when the file is missing
+    hj_data = None
+    if env_params.use_safety_filter and args.safety_filter_type == "hj" \
+            and args.dynamics_type == "air_taxi":
+        from .. import safety as safety_mod
+
+        if os.path.exists(args.safety_value_fn):
+            hj_data = safety_mod.load_hj_pickle(
+                args.safety_value_fn, env_params.cfg.separation_distance
+            )
+        else:
+            print(f"[safety] {args.safety_value_fn} not found; using the "
+                  "synthetic HJ table (safety.make_synthetic_airtaxi_hj)")
+            hj_data = safety_mod.make_synthetic_airtaxi_hj(env_params.cfg)
     runner = Runner(
         env_params=env_params,
         policy=policy,
@@ -86,6 +102,7 @@ def build(args):
         n_rollout_threads=args.n_rollout_threads,
         episode_length=args.episode_length,
         use_centralized_v=args.use_centralized_V,
+        hj_data=hj_data,
     )
     return env_params, policy, trainer, runner
 

@@ -258,3 +258,31 @@ def test_orca_projection():
     a, filtered, diff, _ = rvo_filter(states, actions, cfg)
     assert bool(filtered[0]) and bool(filtered[1])
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_hj_filtered_training_end_to_end():
+    """HJ-filtered air-taxi TRAINING path (VERDICT r2: runner carries
+    hj_data): collect + one PPO update with the safety filter active,
+    synthetic value table (the reference's pickle is absent upstream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contracts_marl_aam_corridors_tpu.cli.train import build
+    from contracts_marl_aam_corridors_tpu.config.flags import parse_all
+
+    args = parse_all([
+        "--scenario_name", "nav_metered_one_goal_graph_rotate_tube_july",
+        "--num_agents", "3", "--num_landmarks", "3",
+        "--episode_length", "6", "--n_rollout_threads", "4",
+        "--use_safety_filter", "True", "--safety_filter_type", "hj",
+        "--gnn_impl", "dense",  # fast CPU compile; trunk isn't the subject
+    ])
+    env_params, policy, trainer, runner = build(args)
+    assert runner.hj_data is not None
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    carry = runner.init_carry(jax.random.PRNGKey(1))
+    ts2, _, ti, _ = jax.jit(runner.train_episode)(ts, carry, jax.random.PRNGKey(2))
+    assert float(ti["value_loss"]) == float(ti["value_loss"])  # finite/not-nan
+    import numpy as np
+
+    assert np.isfinite(float(ti["policy_loss"]))
