@@ -358,25 +358,23 @@ class GRMAPPOPolicy:
                     )
                 )
 
-            def actor_head(h, xs):
-                f, m, av = xs
-                lg, h = self.actor.apply(
-                    {"params": params.actor}, f, h, m, av, method=GRActor.head
+            # ONE scan advances both heads (same math as two sequential
+            # scans; halves the per-step scan overhead of the tiny GRUs)
+            def both_heads(carry, xs):
+                h_a, h_c = carry
+                f_a, f_c, m, av = xs
+                lg, h_a = self.actor.apply(
+                    {"params": params.actor}, f_a, h_a, m, av, method=GRActor.head
                 )
-                return h, lg
+                v, h_c = self.critic.apply(
+                    {"params": params.critic}, f_c, h_c, m, method=GRCritic.head
+                )
+                return (h_a, h_c), (lg, v)
 
-            _, logits = jax.lax.scan(
-                actor_head, rnn_states_actor, (feats_a, masks, available_actions)
+            _, (logits, values) = jax.lax.scan(
+                both_heads, (rnn_states_actor, rnn_states_critic),
+                (feats_a, feats_c, masks, available_actions),
             )
-
-            def critic_head(h, xs):
-                f, m = xs
-                v, h = self.critic.apply(
-                    {"params": params.critic}, f, h, m, method=GRCritic.head
-                )
-                return h, v
-
-            _, values = jax.lax.scan(critic_head, rnn_states_critic, (feats_c, masks))
         action_log_probs = dist.log_probs(logits, action)
         ent = dist.entropy(logits)
         if active_masks is not None:

@@ -105,7 +105,11 @@ def tiny_setup():
     env_params = EnvParams(
         cfg=vehicle_config("air_taxi"), num_agents=3, num_landmarks=3, episode_length=10
     )
-    cfg = ModelConfig(max_edge_dist=env_params.cfg.coordination_range)
+    cfg = ModelConfig(max_edge_dist=env_params.cfg.coordination_range,
+                      # dense trunk: the transposed default triples CPU
+                      # compile time; its correctness is covered by
+                      # test_transposed_gnn_matches_dense + the dryrun
+                      gnn_impl="dense")
     dims = PolicyDims(
         obs_dim=env_params.obs_dim,
         cent_obs_dim=env_params.obs_dim * env_params.num_agents,
@@ -217,7 +221,8 @@ def test_nonrecurrent_mappo_runs():
         cfg=vehicle_config("air_taxi"), num_agents=3, num_landmarks=3, episode_length=10
     )
     cfg = ModelConfig(
-        max_edge_dist=env_params.cfg.coordination_range, use_recurrent_policy=False
+        max_edge_dist=env_params.cfg.coordination_range, use_recurrent_policy=False,
+        gnn_impl="dense",
     )
     dims = PolicyDims(
         obs_dim=env_params.obs_dim, cent_obs_dim=env_params.obs_dim * 3,

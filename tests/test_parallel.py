@@ -14,7 +14,7 @@ from contracts_marl_aam_corridors_tpu.parallel import DistributedRunner, make_me
 def _make_runner(B, T=10):
     cfgv = vehicle_config("air_taxi")
     env_params = EnvParams(cfg=cfgv, num_agents=3, num_landmarks=3, episode_length=T)
-    cfg = ModelConfig(max_edge_dist=cfgv.coordination_range)
+    cfg = ModelConfig(max_edge_dist=cfgv.coordination_range, gnn_impl="dense")
     dims = PolicyDims(
         obs_dim=env_params.obs_dim,
         cent_obs_dim=env_params.obs_dim * 3,
