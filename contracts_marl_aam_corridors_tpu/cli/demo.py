@@ -100,6 +100,10 @@ def main(argv=None):
     from ..utils.render import render_frame, save_gif
 
     args = parse_all(argv)
+    if args.interactive:
+        from .interactive import run as interactive_run
+
+        return interactive_run(args)
     if args.env_name == "MPE" or args.scenario_name.startswith("simple_"):
         return main_mpe(args)
     params = build_env_params(args)

@@ -271,6 +271,14 @@ def main(argv=None):
 
         ts, start_episode = restore_checkpoint(args.model_dir, ts)
         print(f"resumed from {args.model_dir} at episode {start_episode}")
+    elif args.warm_start_dir:
+        # weights-only transfer (reference base_runner.py:179): params + value
+        # norm from the checkpoint, fresh optimizers, episode counter at 0;
+        # handles the rot_inv(13-dim obs) -> two/three_phase(15-dim) remap
+        from ..utils.checkpoint import warm_start_params
+
+        ts = warm_start_params(args.warm_start_dir, ts, env_params.obs_dim)
+        print(f"warm-started params from {args.warm_start_dir}")
 
     devices = jax.devices()
     use_mesh = len(devices) > 1 and args.n_rollout_threads % len(devices) == 0

@@ -118,7 +118,16 @@ def get_config() -> argparse.ArgumentParser:
     p.add_argument("--use_render", action="store_true")
     p.add_argument("--render_episodes", type=int, default=5)
     p.add_argument("--ifi", type=float, default=0.1)
+    # keyboard-driven demo (reference InteractivePolicy, multiagent/policy.py:
+    # 13-52) — TTY keys replace pyglet events; see cli/interactive.py
+    p.add_argument("--interactive", action="store_true")
+    p.add_argument("--control_agent", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None)
+    # params-only warm start (reference base_runner.py:179 restore semantics:
+    # weights only, fresh optimizers, episode 0) — the reference's own
+    # three_phase run used exactly this via its model_dir; here --model_dir
+    # means full resume, so cross-run/cross-scenario transfer gets its own flag
+    p.add_argument("--warm_start_dir", type=str, default=None)
     p.add_argument("--run_dir", type=str, default="./results")
     return p
 

@@ -99,3 +99,119 @@ def restore_reference_policy(model_dir: str, cfg, params_template):
     else:
         critic = params_template.critic
     return PolicyParams(actor=actor, critic=critic)
+
+
+# ----------------------------------------------------------- warm start
+# The reference's ``restore`` (base_runner.py:179-192) loads actor/critic
+# WEIGHTS only — optimizers start fresh and the episode counter resets.  Its
+# checked-in three_phase run was produced exactly this way: config.yaml
+# records ``model_dir: model_weights/tube/rot_inv/airtaxi/try/three`` (a
+# rot_inv-family checkpoint) feeding a three_phase_graph training run.  The
+# intermediate checkpoint it used is not in the repo, so cross-scenario
+# transfer here additionally supports an obs-layout remap: rot_inv's 13-dim
+# observation grows to the two/three_phase 15-dim one by inserting the
+# heading-alignment pair at slots 12-13 (corridor.py obs builder), with the
+# trailing phase slot moving 12 -> 14.  New obs rows enter the actor's first
+# dense layer as zeros (ignored at step 0) and its input LayerNorm with
+# scale 1 / bias 0.
+
+# (old_obs_dim, new_obs_dim) -> (insert position, count) in the obs vector.
+_OBS_LAYOUT_INSERTS = {(13, 15): (12, 2)}
+
+
+def _obs_index_map(old_dim: int, new_dim: int) -> list[int]:
+    """new-row index -> old-row index, -1 for rows that did not exist."""
+    if old_dim == new_dim:
+        return list(range(old_dim))
+    at, n = _OBS_LAYOUT_INSERTS[(old_dim, new_dim)]
+    return list(range(at)) + [-1] * n + list(range(at, old_dim))
+
+
+def _remap_rows(old: np.ndarray, index_map: list[int], fill: float) -> np.ndarray:
+    """Reindex the leading axis of a kernel/scale/bias by ``index_map``;
+    rows mapped from -1 are filled with ``fill``."""
+    idx = np.asarray(index_map)
+    out = old[np.clip(idx, 0, old.shape[0] - 1)].copy()
+    out[idx < 0] = fill
+    return out
+
+
+def _resolve_ckpt_path(model_dir: str) -> str:
+    """Accept a run dir with latest.json, a direct ckpt_<N> dir, or a dir
+    containing ckpt_<N> subdirs (the checked-in weight layout)."""
+    latest = os.path.join(model_dir, "latest.json")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            return json.load(f)["path"]
+    base = os.path.basename(os.path.normpath(model_dir))
+    if base.startswith("ckpt_"):
+        return os.path.abspath(model_dir)
+    cands = sorted(
+        (d for d in os.listdir(model_dir) if d.startswith("ckpt_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    if not cands:
+        raise FileNotFoundError(f"no checkpoint under {model_dir}")
+    return os.path.abspath(os.path.join(model_dir, cands[-1]))
+
+
+def warm_start_params(model_dir: str, ts_new, new_obs_dim: int):
+    """Params-only warm start (reference base_runner.py:179 semantics).
+
+    Returns ``ts_new`` with actor/critic params and the value-normalizer
+    stats taken from the checkpoint at ``model_dir``; optimizer states are
+    left as freshly initialized and the episode counter is NOT restored.
+    When the checkpointed actor consumed a narrower observation than
+    ``ts_new``'s, its obs-consuming leaves (input LayerNorm + first dense
+    kernel of the post-GNN MLP, actor_critic.py ``post_gnn``) are row-
+    remapped per ``_OBS_LAYOUT_INSERTS``.
+    """
+    import orbax.checkpoint as ocp
+
+    path = _resolve_ckpt_path(model_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(path)
+
+    old_actor, new_actor = raw["params"]["actor"], dict(ts_new.params.actor)
+    old_in = old_actor["base"]["mlp"]["fc0"]["kernel"].shape[0]
+    new_in = new_actor["base"]["mlp"]["fc0"]["kernel"].shape[0]
+    if old_in != new_in:
+        nbd_dim = new_in - new_obs_dim  # GNN aggregate rows, appended after obs
+        old_obs = old_in - nbd_dim
+        omap = _obs_index_map(old_obs, new_obs_dim)
+        full = omap + list(range(old_obs, old_in))
+        base = jax.tree.map(np.asarray, dict(old_actor["base"]))
+        fn = dict(base["feature_norm"])
+        fn["scale"] = _remap_rows(fn["scale"], full, 1.0)
+        fn["bias"] = _remap_rows(fn["bias"], full, 0.0)
+        mlp = dict(base["mlp"])
+        fc0 = dict(mlp["fc0"])
+        fc0["kernel"] = _remap_rows(fc0["kernel"], full, 0.0)
+        mlp["fc0"] = fc0
+        base["feature_norm"], base["mlp"] = fn, mlp
+        old_actor = {**old_actor, "base": base}
+
+    from flax import serialization
+
+    def adopt(template, state):
+        # match by field/key name (raw restore yields plain dicts), then pin
+        # each leaf to the template's dtype
+        restored = serialization.from_state_dict(template, state)
+        return jax.tree.map(
+            lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype), template, restored
+        )
+
+    params = ts_new.params.replace(
+        actor=adopt(ts_new.params.actor, old_actor),
+        critic=adopt(ts_new.params.critic, raw["params"]["critic"]),
+    )
+    ts = ts_new.replace(params=params)
+    if raw.get("vn") is not None and ts_new.vn is not None:
+        try:
+            ts = ts.replace(vn=adopt(ts_new.vn, raw["vn"]))
+        except ValueError:
+            # PopArt vs ValueNorm mismatch between the runs: the reference's
+            # restore is weights-only anyway, so keep the fresh normalizer
+            print("warm start: value-norm type differs from checkpoint; "
+                  "keeping freshly initialized normalizer")
+    return ts

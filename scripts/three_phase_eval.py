@@ -1,0 +1,60 @@
+"""Three-phase transfer eval: our warm-started from-scratch checkpoint vs the
+reference's checked-in three_phase weights
+(/root/reference/model_weights/tube/rot_inv/airtaxi/three_phase), same batched
+deterministic harness (4 x 256 episodes).  Companion to final_eval.py (the
+rot_inv headline eval)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import numpy as np
+
+from contracts_marl_aam_corridors_tpu.cli.train import build
+from contracts_marl_aam_corridors_tpu.config.flags import parse_all
+
+RUN = "/root/repo/results/GraphMPE/three_phase_graph/rmappo/ref_recipe_three_phase_warm/seed0/models"
+REF = "/root/reference/model_weights/tube/rot_inv/airtaxi/three_phase"
+
+# the reference three_phase config.yaml recipe (collision_rew 20, 4M steps)
+RECIPE = [
+    "--scenario_name", "three_phase_graph",
+    "--dynamics_type", "air_taxi", "--seed", "0",
+    "--num_agents=3", "--num_landmarks=3", "--episode_length", "75",
+    "--n_rollout_threads", "64", "--total_actions", "9",
+    "--use_ReLU", "--use_popart", "--use_valuenorm",
+    "--collision_rew", "20", "--goal_rew", "20", "--formation_rew", "5",
+    "--fair_rew", "5", "--world_size=4", "--compute_dtype", "float32",
+]
+
+
+def main(n_eval=256, run=RUN, ref=REF):
+    args = parse_all(RECIPE)
+    env_params, policy, trainer, runner = build(args)
+    ts = trainer.init_state(jax.random.PRNGKey(1))
+    eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
+
+    from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        restore_reference_policy,
+    )
+
+    ts_ours, ep = restore_checkpoint(run, ts)
+    print(f"ours: episode {ep} from {run}")
+    for name, t in [
+        ("ours-warm-started-from-our-rot_inv", ts_ours),
+        ("reference-trained", ts.replace(
+            params=restore_reference_policy(ref, policy.cfg, ts.params))),
+    ]:
+        agg = {}
+        for s in range(4):
+            out = {k: float(np.asarray(v))
+                   for k, v in eval_fn(t, jax.random.PRNGKey(100 + s)).items()}
+            for k, v in out.items():
+                agg.setdefault(k, []).append(v)
+        print(f"[{name}] " + " ".join(
+            f"{k.replace('eval_', '')}={np.mean(v):.4f}" for k, v in agg.items()))
+
+
+if __name__ == "__main__":
+    main()
