@@ -28,7 +28,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_cluster(num_processes: int, local_devices: int, timeout=600):
+def _run_cluster(num_processes: int, local_devices: int, timeout=1200):
+    # generous budget: on a 1-core box both workers share the CPU and the
+    # whole test takes ~14 min; any parallel CPU load can push a worker
+    # past a 600 s window
     port = _free_port()
     procs = []
     env = dict(os.environ)
