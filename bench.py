@@ -12,6 +12,37 @@ from __future__ import annotations
 import json
 import time
 
+
+def _wait_for_axon_relay(max_wait_s: float = 360.0):
+    """If the axon relay is down, backend init (even at package IMPORT time —
+    envs/env.py touches jax at module level) hangs forever with no error.
+    Probe the relay port and wait (bounded) for it to come back so a
+    transient outage delays the bench instead of eating the caller's whole
+    timeout inside a silent hang.  Proceeds regardless after the window —
+    the transport may not use this port everywhere."""
+    import os
+    import socket
+    import sys
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return  # no tunnel involved
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", 8082))
+            return
+        except OSError:
+            print("bench: axon relay not answering; waiting...", file=sys.stderr)
+            time.sleep(10)
+        finally:
+            s.close()
+    print("bench: relay still down after wait; attempting anyway", file=sys.stderr)
+
+
+_wait_for_axon_relay()
+
 import numpy as np
 
 import jax
