@@ -20,12 +20,12 @@ def _wait_for_axon_relay(max_wait_s: float = 360.0):
     transient outage delays the bench instead of eating the caller's whole
     timeout inside a silent hang.  Proceeds regardless after the window —
     the transport may not use this port everywhere."""
-    import os
     import socket
     import sys
 
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-        return  # no tunnel involved
+    # NB: no JAX_PLATFORMS=cpu escape hatch here — the env var is not
+    # honored on this image (the axon plugin prepends itself), so the
+    # import-time backend init can hang regardless of it.
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
         s = socket.socket()
