@@ -287,6 +287,7 @@ class Runner:
             masks=jnp.ones((B, N, 1), self.dtype),
             prev_done=jnp.zeros((B, N), bool),
             latched=jnp.zeros((B,), bool),
+            reached=jnp.zeros((B, N), bool),
             ep_rew=jnp.zeros((B, N), self.dtype),
             info=None,  # filled below once shapes are known
         )
@@ -301,7 +302,7 @@ class Runner:
                 return jnp.where(f, a, b)
             return jax.tree.map(upd, acc, now)
 
-        def step_fn(c, _):
+        def step_fn(c, t):
             avail = self._stop_avail(c["prev_done"])
             adj_rep = jnp.broadcast_to(c["adj"][:, None], (B, N, E, E))
             actions, h = self.policy.act(
@@ -317,6 +318,11 @@ class Runner:
             dones_env = jnp.all(dones, axis=1)
             done_f = dones[..., None].astype(self.dtype)
             acc = st.info if c["info"] is None else latch(c["latched"], st.info, c["info"])
+            # gate success (cli/eval semantics, reference stats block
+            # :830-903): an agent done BEFORE the time-limit step froze at a
+            # gate/goal; only the env's first episode counts (pre-auto-reset)
+            before_limit = t < self.env_params.episode_length - 1
+            reached = c["reached"] | (dones & ~c["latched"][:, None] & before_limit)
             new = dict(
                 env_state=env_state,
                 obs=st.obs, node_obs=st.node_obs, adj=st.adj, agent_id=c["agent_id"],
@@ -324,15 +330,16 @@ class Runner:
                 masks=1.0 - done_f,
                 prev_done=dones,
                 latched=c["latched"] | dones_env,
+                reached=reached,
                 ep_rew=c["ep_rew"] + st.reward,
                 info=acc,
             )
             return new, None
 
         # one un-scanned step fixes the info-tree structure for the carry
-        carry1, _ = step_fn(carry0, None)
-        carry2, _ = jax.lax.scan(step_fn, carry1, None,
-                                 length=self.env_params.episode_length - 1)
+        carry1, _ = step_fn(carry0, 0)
+        carry2, _ = jax.lax.scan(step_fn, carry1,
+                                 jnp.arange(1, self.env_params.episode_length))
 
         info = carry2["info"]
         thresh = jnp.asarray(self.env_params.cfg.goal_threshold, self.dtype)
@@ -350,4 +357,11 @@ class Runner:
         }
         if "Phase_reached" in info:
             out["eval_phase_reached"] = jnp.mean(info["Phase_reached"])
+        # freeze-before-limit criterion (cli/eval's `reached`): the right
+        # success notion for gate-terminal scenarios (two_phase ends frozen
+        # at the exit transition, so dist-to-goal stays ~O(1) on success)
+        gate = carry2["reached"].astype(self.dtype)
+        out["eval_gate_success_rate"] = jnp.mean(gate)
+        out["eval_all_gate_success_rate"] = jnp.mean(
+            jnp.all(gate > 0.5, axis=1).astype(self.dtype))
         return out

@@ -250,11 +250,16 @@ def test_eval_episode(tiny_setup):
     )
     for k in ["eval_average_episode_rewards", "eval_success_rate",
               "eval_all_success_rate", "eval_num_agent_collisions",
-              "eval_conformance", "eval_time_mean", "eval_dist_to_goal"]:
+              "eval_conformance", "eval_time_mean", "eval_dist_to_goal",
+              "eval_gate_success_rate", "eval_all_gate_success_rate"]:
         assert k in out, k
         assert np.isfinite(float(out[k])), k
     assert 0.0 <= float(out["eval_success_rate"]) <= 1.0
     assert 0.0 <= float(out["eval_all_success_rate"]) <= float(out["eval_success_rate"]) + 1e-6
+    # gate criterion (freeze before the time limit, cli/eval semantics)
+    assert 0.0 <= float(out["eval_gate_success_rate"]) <= 1.0
+    assert (0.0 <= float(out["eval_all_gate_success_rate"])
+            <= float(out["eval_gate_success_rate"]) + 1e-6)
     # deterministic policy + same key => identical metrics
     out2 = jax.jit(lambda t, k: runner.eval_episode(t, k, 4))(
         ts, jax.random.PRNGKey(5)
