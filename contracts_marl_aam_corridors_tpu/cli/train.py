@@ -203,6 +203,11 @@ def main_mpe(args):
     ts = trainer.init_state(k_init)
     carry = runner.init_carry(k_carry)
     step_fn = jax.jit(runner.train_episode)
+    # in-training eval cadence (reference MPERunner.eval via mpe_runner.py
+    # :162-194's interval logic)
+    n_eval = max(args.n_eval_rollout_threads, args.eval_episodes)
+    eval_fn = (jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
+               if args.use_eval else None)
     episodes = int(args.num_env_steps) // args.episode_length // args.n_rollout_threads
     print_box(
         f"MPE {args.scenario_name} | {runner.num_agents} agents | "
@@ -226,6 +231,15 @@ def main_mpe(args):
                 f"ep {episode}/{episodes} steps {total_steps} "
                 f"rew {info.get('average_episode_rewards', float('nan')):.3f} "
                 f"sps {sps:,.0f}",
+                flush=True,
+            )
+        if eval_fn is not None and episode % args.eval_interval == 0:
+            key, evkey = jax.random.split(key)
+            einfo = {k: float(np.asarray(v)) for k, v in eval_fn(ts, evkey).items()}
+            logger.log(einfo, total_steps)
+            print(
+                f"[eval ep {episode}] rew "
+                f"{einfo['eval_average_episode_rewards']:.2f}",
                 flush=True,
             )
     save_checkpoint(save_dir, ts, episodes - 1 if episodes else 0, config=vars(args))

@@ -197,6 +197,59 @@ class MPERunner:
         )
         return carry2, buffer
 
+    # ------------------------------------------------------------- eval
+    def _eval_act(self, ts: TrainState, obs: Array, h: Array, masks: Array):
+        """Deterministic act for eval; (B, N, ...) in and out.  Overridden by
+        the separated runner (per-agent stacked params)."""
+        B, N = obs.shape[:2]
+        flat = lambda x: x.reshape((B * N,) + x.shape[2:])
+        unflat = lambda x: x.reshape((B, N) + x.shape[1:])
+        actions, h2 = self.policy.act(
+            ts.params, jax.random.PRNGKey(0), flat(obs),
+            rnn_states_actor=flat(h), masks=flat(masks),
+            available_actions=None, deterministic=True,
+        )
+        return unflat(actions), unflat(h2)
+
+    def eval_episode(self, ts: TrainState, key: Array, n_eval: int):
+        """Deterministic in-training evaluation (reference ``MPERunner.eval``,
+        onpolicy/runner/shared/mpe_runner.py:172-233): fresh eval envs,
+        ``policy.act`` with deterministic=True over one episode window,
+        reporting eval_average_episode_rewards (sum over steps, mean over
+        envs and agents — the reference's only eval metric for classic MPE,
+        which has no success notion)."""
+        B, N = n_eval, self.num_agents
+        rN, H = self.policy.cfg.recurrent_n, self.policy.cfg.hidden_size
+        A0 = self.policy.dims.action_dim
+
+        key, rkey = jax.random.split(key)
+        state = self.env.vec_reset(jax.random.split(rkey, B))
+        obs = self._initial_obs(state)
+
+        def step_fn(c, _):
+            actions_bn, h = self._eval_act(ts, c["obs"], c["h"], c["masks"])
+            env_actions = actions_bn[..., 0] if A0 == 1 else actions_bn
+            env_state, (next_obs, rew, done) = self.env.vec_step(
+                c["env_state"], env_actions
+            )
+            done_f = done[..., None].astype(self.dtype)
+            new = dict(
+                env_state=env_state, obs=next_obs,
+                h=h * (1.0 - done_f[..., None]),
+                masks=1.0 - done_f,
+                ep_rew=c["ep_rew"] + rew,
+            )
+            return new, None
+
+        carry0 = dict(
+            env_state=state, obs=obs,
+            h=jnp.zeros((B, N, rN, H), self.dtype),
+            masks=jnp.ones((B, N, 1), self.dtype),
+            ep_rew=jnp.zeros((B, N), self.dtype),
+        )
+        carry2, _ = jax.lax.scan(step_fn, carry0, None, length=self.episode_length)
+        return {"eval_average_episode_rewards": jnp.mean(carry2["ep_rew"])}
+
     # ------------------------------------------------------------- episode
     def train_episode(self, ts: TrainState, carry: FlatCarry, key: Array):
         carry, buffer = self.collect(ts, carry)

@@ -116,6 +116,21 @@ class SeparatedMPERunner(MPERunner):
 
         return jax.vmap(one)(ts.params, keys, share_obs, obs, h_a, h_c, masks, avail)
 
+    # ---------------------------------------------------------------- eval
+    def _eval_act(self, ts: TrainState, obs: Array, h: Array, masks: Array):
+        """Per-agent deterministic act: vmap ``policy.act`` over the stacked
+        (N, ...) params; (B, N, ...) in and out."""
+        am = lambda x: jnp.swapaxes(x, 0, 1)  # (B, N, ...) <-> (N, B, ...)
+
+        def one(params, o, ha, m):
+            return self.policy.act(
+                params, jax.random.PRNGKey(0), o, rnn_states_actor=ha,
+                masks=m, available_actions=None, deterministic=True,
+            )
+
+        actions, h2 = jax.vmap(one)(ts.params, am(obs), am(h), am(masks))
+        return am(actions), am(h2)
+
     # ------------------------------------------------------------- rollout
     def _rollout_step(self, ts: TrainState, carry: FlatCarry, _):
         B, N = self.n_rollout_threads, self.num_agents

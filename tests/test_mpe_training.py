@@ -98,3 +98,17 @@ def test_non_recurrent_flat_path():
     step = jax.jit(runner.train_episode)
     ts, carry, info = step(ts, carry, jax.random.PRNGKey(6))
     assert np.isfinite(float(info["value_loss"]))
+
+
+def test_mpe_eval_episode():
+    """In-training eval on the flat path (reference MPERunner.eval,
+    mpe_runner.py:172-233): deterministic, jittable, reproducible."""
+    runner, trainer = _build("simple_spread", B=8, T=25)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    ev = jax.jit(lambda t, k: runner.eval_episode(t, k, 6))
+    out = ev(ts, jax.random.PRNGKey(3))
+    r1 = float(out["eval_average_episode_rewards"])
+    assert np.isfinite(r1)
+    # same key => identical (deterministic act + deterministic env reset)
+    r2 = float(ev(ts, jax.random.PRNGKey(3))["eval_average_episode_rewards"])
+    assert r1 == r2

@@ -90,3 +90,12 @@ def test_separated_multidiscrete_runs():
     ts, carry, info = jax.jit(runner.train_episode)(ts, carry, key)
     for v in info.values():
         assert np.isfinite(float(v))
+
+
+def test_separated_eval_episode():
+    """eval_episode with per-agent stacked params (vmapped deterministic act)."""
+    runner, trainer, n = _build("simple_tag", B=8, T=10)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    out = jax.jit(lambda t, k: runner.eval_episode(t, k, 4))(
+        ts, jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["eval_average_episode_rewards"]))
