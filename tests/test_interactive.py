@@ -96,3 +96,58 @@ def test_tty_reader_refuses_without_tty(monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO(""))
     with pytest.raises(SystemExit):
         next(ia.tty_keys())
+
+
+def test_tty_end_to_end_over_pty(tmp_path):
+    """Full keyboard loop on a REAL pty: arrow escape sequences and wasd keys
+    are read from the TTY, ANSI frames are written, 'q' quits, and the GIF is
+    saved — the complete cli/interactive.py path, not just the pure helpers."""
+    import os
+    import pty
+    import select
+    import sys
+    import time
+
+    script = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from contracts_marl_aam_corridors_tpu.cli.demo import main;"
+        "main(['--interactive','--scenario_name',"
+        "'nav_graph_metered_single_corridor_rot_inv',"
+        "'--dynamics_type','air_taxi','--num_agents=3','--num_landmarks=3',"
+        "'--total_actions','9','--episode_length','12','--world_size=4',"
+        f"'--ifi','0.05','--run_dir','{tmp_path}'])"
+    )
+    pid, fd = pty.fork()
+    if pid == 0:  # child: becomes the demo with the pty as its TTY
+        os.execvp(sys.executable, [sys.executable, "-u", "-c", script])
+
+    out = b""
+    keys = [b"\x1b[A", b"w", b"a", b"\x1b[C", b" "]
+    sent = 0
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 240:
+            r, _, _ = select.select([fd], [], [], 1.0)
+            if not r:
+                continue
+            try:
+                chunk = os.read(fd, 4096)
+            except OSError:
+                break
+            if not chunk:
+                break
+            out += chunk
+            if b"step" in out:
+                if sent < len(keys):
+                    os.write(fd, keys[sent])
+                    sent += 1
+                elif b"step 4" in out:
+                    os.write(fd, b"q")
+    finally:
+        os.close(fd)
+    _, status = os.waitpid(pid, 0)
+    assert os.waitstatus_to_exitcode(status) == 0, out[-2000:]
+    txt = out.decode(errors="replace")
+    assert "key=up" in txt      # arrow escape sequence parsed
+    assert "interactive:" in txt  # clean quit summary line
+    assert (tmp_path / "interactive.gif").exists()
