@@ -291,7 +291,8 @@ def main(argv=None):
         # handles the rot_inv(13-dim obs) -> two/three_phase(15-dim) remap
         from ..utils.checkpoint import warm_start_params
 
-        ts = warm_start_params(args.warm_start_dir, ts, env_params.obs_dim)
+        ts = warm_start_params(args.warm_start_dir, ts, env_params.obs_dim,
+                               cfg=policy.cfg)
         print(f"warm-started params from {args.warm_start_dir}")
 
     devices = jax.devices()

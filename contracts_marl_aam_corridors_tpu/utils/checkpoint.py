@@ -155,7 +155,7 @@ def _resolve_ckpt_path(model_dir: str) -> str:
     return os.path.abspath(os.path.join(model_dir, cands[-1]))
 
 
-def warm_start_params(model_dir: str, ts_new, new_obs_dim: int):
+def warm_start_params(model_dir: str, ts_new, new_obs_dim: int, cfg=None):
     """Params-only warm start (reference base_runner.py:179 semantics).
 
     Returns ``ts_new`` with actor/critic params and the value-normalizer
@@ -165,12 +165,26 @@ def warm_start_params(model_dir: str, ts_new, new_obs_dim: int):
     ``ts_new``'s, its obs-consuming leaves (input LayerNorm + first dense
     kernel of the post-GNN MLP, actor_critic.py ``post_gnn``) are row-
     remapped per ``_OBS_LAYOUT_INSERTS``.
-    """
-    import orbax.checkpoint as ocp
 
-    path = _resolve_ckpt_path(model_dir)
-    with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(path)
+    ``model_dir`` may be one of our orbax run/ckpt dirs OR a reference-style
+    torch checkpoint dir (``actor.pt``/``critic.pt`` — what the reference's
+    own ``model_dir`` restore consumed); the latter needs ``cfg`` (the
+    ModelConfig) for the torch import.
+    """
+    if os.path.exists(os.path.join(model_dir, "actor.pt")):
+        if cfg is None:
+            raise ValueError(
+                "warm start from a torch actor.pt/critic.pt dir needs cfg")
+        pp = restore_reference_policy(model_dir, cfg, ts_new.params)
+        raw = {"params": {"actor": jax.tree.map(np.asarray, dict(pp.actor)),
+                          "critic": jax.tree.map(np.asarray, dict(pp.critic))},
+               "vn": None}
+    else:
+        import orbax.checkpoint as ocp
+
+        path = _resolve_ckpt_path(model_dir)
+        with ocp.StandardCheckpointer() as ckptr:
+            raw = ckptr.restore(path)
 
     old_actor, new_actor = raw["params"]["actor"], dict(ts_new.params.actor)
     old_in = old_actor["base"]["mlp"]["fc0"]["kernel"].shape[0]

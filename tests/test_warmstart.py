@@ -141,3 +141,32 @@ def test_warm_start_same_scenario_identity():
         dict(ts2.params.actor), jax.tree.map(np.asarray, raw["params"]["actor"]),
     )
     assert max(jax.tree.leaves(diff)) == 0.0
+
+
+REF_TORCH = "/root/reference/model_weights/tube/rot_inv/airtaxi"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TORCH), reason="reference weights absent")
+def test_warm_start_from_reference_torch_dir():
+    """--warm_start_dir also accepts the reference's actor.pt/critic.pt
+    layout — exactly what the reference's own model_dir restore consumed."""
+    from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
+        restore_reference_policy,
+    )
+
+    args = _recipe("nav_graph_metered_single_corridor_rot_inv")
+    env_params, policy, trainer, runner = build(args)
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    ts2 = warm_start_params(REF_TORCH, ts, env_params.obs_dim, cfg=policy.cfg)
+    pp = restore_reference_policy(REF_TORCH, policy.cfg, ts.params)
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()),
+        dict(ts2.params.actor), jax.tree.map(np.asarray, dict(pp.actor)),
+    )
+    assert max(jax.tree.leaves(diff)) == 0.0
+    # optimizers fresh
+    mu = [np.asarray(x) for x in jax.tree.leaves(ts2.actor_opt)]
+    assert all(np.allclose(m, 0.0) for m in mu if m.dtype.kind == "f" and m.ndim > 0)
+    # missing cfg errors loudly
+    with pytest.raises(ValueError):
+        warm_start_params(REF_TORCH, ts, env_params.obs_dim)
