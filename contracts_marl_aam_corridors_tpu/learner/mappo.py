@@ -46,6 +46,39 @@ def huber(e: Array, delta: float) -> Array:
     return a * e**2 / 2 + b * delta * (jnp.abs(e) - delta / 2)
 
 
+def cal_value_loss(
+    values: Array,
+    value_preds: Array,
+    returns: Array,
+    active_masks: Array,
+    vn,
+    *,
+    clip_param: float,
+    use_huber_loss: bool,
+    huber_delta: float,
+    use_clipped_value_loss: bool,
+    use_value_active_masks: bool,
+) -> Array:
+    """Reference ``GR_MAPPO.cal_value_loss`` (graph_mappo.py:70-119): value
+    clip around the old predictions, normalized-return targets (``vn`` is the
+    ALREADY-UPDATED normalizer state or None — the reference updates from the
+    batch returns before normalizing), huber-or-mse, max of clipped/original,
+    active-mask averaging."""
+    v_clipped = value_preds + jnp.clip(
+        values - value_preds, -clip_param, clip_param
+    )
+    tgt = vn_normalize(vn, returns) if vn is not None else returns
+    e_clip, e_orig = tgt - v_clipped, tgt - values
+    if use_huber_loss:
+        vl_clip, vl_orig = huber(e_clip, huber_delta), huber(e_orig, huber_delta)
+    else:
+        vl_clip, vl_orig = 0.5 * e_clip**2, 0.5 * e_orig**2
+    vl = jnp.maximum(vl_orig, vl_clip) if use_clipped_value_loss else vl_orig
+    if use_value_active_masks:
+        return (vl * active_masks).sum() / active_masks.sum()
+    return vl.mean()
+
+
 def _masked_mean_std(x: Array, mask: Array):
     """nanmean/nanstd over active entries (graph_mappo.py:300-304)."""
     w = mask
@@ -142,24 +175,14 @@ class GRMAPPOTrainer:
             else:
                 policy_loss = -obj.mean()
 
-            # value loss (cal_value_loss, graph_mappo.py:70-119)
-            v_clipped = value_preds + jnp.clip(
-                values - value_preds, -self.clip_param, self.clip_param
+            value_loss = cal_value_loss(
+                values, value_preds, returns, active_masks, vn,
+                clip_param=self.clip_param,
+                use_huber_loss=self.use_huber_loss,
+                huber_delta=self.huber_delta,
+                use_clipped_value_loss=self.use_clipped_value_loss,
+                use_value_active_masks=self.use_value_active_masks,
             )
-            if vn is not None:
-                tgt = vn_normalize(vn, returns)
-            else:
-                tgt = returns
-            e_clip, e_orig = tgt - v_clipped, tgt - values
-            if self.use_huber_loss:
-                vl_clip, vl_orig = huber(e_clip, self.huber_delta), huber(e_orig, self.huber_delta)
-            else:
-                vl_clip, vl_orig = 0.5 * e_clip**2, 0.5 * e_orig**2
-            vl = jnp.maximum(vl_orig, vl_clip) if self.use_clipped_value_loss else vl_orig
-            if self.use_value_active_masks:
-                value_loss = (vl * active_masks).sum() / active_masks.sum()
-            else:
-                value_loss = vl.mean()
 
             total = (
                 policy_loss

@@ -391,3 +391,98 @@ def test_rollout_tracks_truncation_bad_masks(tiny_setup):
     # the window length equals episode_length so every env hits the time
     # limit at the last step: non-frozen agents must be truncated there
     assert (bad[-1] == 0).any()
+
+
+def test_cal_value_loss_matches_reference():
+    """Drive the ACTUAL reference ``GR_MAPPO.cal_value_loss``
+    (graph_mappo.py:70-119) against our ``cal_value_loss`` on identical
+    batches across the {huber,mse} x {clipped,plain} x {active-masked,mean}
+    x {no-normalizer, ValueNorm} grid.  Completes the update-level parity
+    chain (huber/ValueNorm/GAE were already oracle-tested individually)."""
+    import types
+
+    sys.path.insert(0, "/root/repo/tests")
+    import ref_oracle
+
+    ref_oracle._install_shims()
+    import torch
+
+    if "torch_geometric" not in sys.modules:
+        # import-time-only shim: graph_mappo imports the policy stack, which
+        # imports gnn_new; cal_value_loss never touches the GNN
+        tg = types.ModuleType("torch_geometric")
+        tg.__path__ = []
+        nn_mod = types.ModuleType("torch_geometric.nn")
+
+        class _MP(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        nn_mod.MessagePassing = _MP
+        nn_mod.TransformerConv = _MP
+        nn_mod.global_mean_pool = nn_mod.global_max_pool = nn_mod.global_add_pool = (
+            lambda *a, **k: None
+        )
+        data_mod = types.ModuleType("torch_geometric.data")
+        data_mod.Data = object
+        data_mod.Batch = object
+        loader_mod = types.ModuleType("torch_geometric.loader")
+        loader_mod.DataLoader = object
+        utils_mod = types.ModuleType("torch_geometric.utils")
+        utils_mod.add_self_loops = utils_mod.to_dense_batch = lambda *a, **k: None
+        typing_mod = types.ModuleType("torch_geometric.typing")
+        typing_mod.OptPairTensor = typing_mod.Adj = object
+        typing_mod.OptTensor = typing_mod.Size = object
+        tg.nn, tg.data, tg.loader, tg.utils, tg.typing = (
+            nn_mod, data_mod, loader_mod, utils_mod, typing_mod)
+        for name, m in [("torch_geometric", tg), ("torch_geometric.nn", nn_mod),
+                        ("torch_geometric.data", data_mod),
+                        ("torch_geometric.loader", loader_mod),
+                        ("torch_geometric.utils", utils_mod),
+                        ("torch_geometric.typing", typing_mod)]:
+            sys.modules[name] = m
+    sys.path.insert(0, "/root/reference")
+    from onpolicy.algorithms.graph_mappo import GR_MAPPO
+    from onpolicy.utils.valuenorm import ValueNorm
+
+    from contracts_marl_aam_corridors_tpu.learner.mappo import cal_value_loss
+
+    rng = np.random.default_rng(0)
+    n = 64
+    values = rng.normal(0, 2, (n, 1)).astype(np.float32)
+    value_preds = values + rng.normal(0, 0.5, (n, 1)).astype(np.float32)
+    returns = rng.normal(1, 15, (n, 1)).astype(np.float32)  # exercises huber
+    active = (rng.random((n, 1)) > 0.25).astype(np.float32)
+
+    for use_norm in [False, True]:
+        for use_hub in [False, True]:
+            for use_clip in [False, True]:
+                for use_am in [False, True]:
+                    ref = GR_MAPPO.__new__(GR_MAPPO)
+                    ref.clip_param = 0.2
+                    ref.huber_delta = 10.0
+                    ref._use_huber_loss = use_hub
+                    ref._use_clipped_value_loss = use_clip
+                    ref._use_value_active_masks = use_am
+                    ref._use_popart = False
+                    ref._use_valuenorm = use_norm
+                    ref.value_normalizer = (
+                        ValueNorm(1, device=torch.device("cpu")) if use_norm else None)
+                    want = ref.cal_value_loss(
+                        torch.from_numpy(values), torch.from_numpy(value_preds),
+                        torch.from_numpy(returns), torch.from_numpy(active),
+                    ).item()
+
+                    if use_norm:
+                        vn = vn_update(vn_init(jnp.float32), jnp.asarray(returns))
+                    else:
+                        vn = None
+                    got = float(cal_value_loss(
+                        jnp.asarray(values), jnp.asarray(value_preds),
+                        jnp.asarray(returns), jnp.asarray(active), vn,
+                        clip_param=0.2, use_huber_loss=use_hub, huber_delta=10.0,
+                        use_clipped_value_loss=use_clip,
+                        use_value_active_masks=use_am,
+                    ))
+                    assert got == pytest.approx(want, rel=2e-5), (
+                        use_norm, use_hub, use_clip, use_am, got, want)
