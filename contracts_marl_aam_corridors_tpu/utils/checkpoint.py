@@ -113,7 +113,12 @@ def restore_reference_policy(model_dir: str, cfg, params_template):
 # heading-alignment pair at slots 12-13 (corridor.py obs builder), with the
 # trailing phase slot moving 12 -> 14.  New obs rows enter the actor's first
 # dense layer as zeros (ignored at step 0) and its input LayerNorm with
-# scale 1 / bias 0.
+# scale 1 / bias 0.  NB the transfer is approximately (not exactly)
+# function-preserving: fc0 ignores the new rows, but the input LayerNorm
+# normalizes across the whole feature axis, so its statistics shift with the
+# two inserted features.  Empirically the shift is negligible — the
+# remapped rot_inv checkpoint evaluates at 0.974 success on three_phase
+# with zero further training (BENCH_NOTES.md).
 
 # (old_obs_dim, new_obs_dim) -> (insert position, count) in the obs vector.
 _OBS_LAYOUT_INSERTS = {(13, 15): (12, 2)}
