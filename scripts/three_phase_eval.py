@@ -13,7 +13,8 @@ import numpy as np
 from contracts_marl_aam_corridors_tpu.cli.train import build
 from contracts_marl_aam_corridors_tpu.config.flags import parse_all
 
-RUN = "/root/repo/results/GraphMPE/three_phase_graph/rmappo/ref_recipe_three_phase_warm/seed0/models"
+RUN = ("/root/repo/results/GraphMPE/three_phase_graph/rmappo/"
+       "ref_recipe_three_phase_graph_warm/seed0/models")
 REF = "/root/reference/model_weights/tube/rot_inv/airtaxi/three_phase"
 
 # the reference three_phase config.yaml recipe (collision_rew 20, 4M steps)
@@ -57,4 +58,5 @@ def main(n_eval=256, run=RUN, ref=REF):
 
 
 if __name__ == "__main__":
-    main()
+    main(run=sys.argv[1] if len(sys.argv) > 1 else RUN,
+         ref=sys.argv[2] if len(sys.argv) > 2 else REF)

@@ -1,0 +1,75 @@
+"""Two-phase from-scratch eval: our checkpoint (reference two_phase_only
+recipe, trained from scratch by ``SCENARIO=old_two_graph WARM= \
+scripts/train_three_phase.sh``) vs the reference's checked-in two_phase_only
+weights, same batched deterministic harness.
+
+Gate success (agent froze at the exit transition before the time limit) is
+the meaningful criterion for two_phase — dist-to-goal success reads 0 by
+design because successful episodes end frozen at the gate, not on a landmark
+(see BENCH_NOTES "Gate-success metric").  Runs the comparison at the trained
+config (3 agents, ep_len 75, world 4) and at the reference's eval
+generalization config (5 agents, ep_len 100, world 3 —
+eval_scripts/commands_test_run.md).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import numpy as np
+
+from contracts_marl_aam_corridors_tpu.cli.train import build
+from contracts_marl_aam_corridors_tpu.config.flags import parse_all
+
+RUN = ("/root/repo/results/GraphMPE/old_two_graph/rmappo/"
+       "ref_recipe_old_two_graph/seed0/models")
+REF = "/root/reference/model_weights/tube/rot_inv/airtaxi/two_phase_only"
+
+CONFIGS = {
+    "trained(3ag/ep75/w4)": ["--num_agents=3", "--num_landmarks=3",
+                             "--episode_length", "75", "--world_size=4"],
+    "general(5ag/ep100/w3)": ["--num_agents=5", "--num_landmarks=5",
+                              "--episode_length", "100", "--world_size=3"],
+}
+BASE = [
+    "--scenario_name", "old_two_graph",
+    "--dynamics_type", "air_taxi", "--seed", "0",
+    "--n_rollout_threads", "64", "--total_actions", "9",
+    "--use_ReLU", "--use_popart", "--use_valuenorm",
+    "--collision_rew", "20", "--goal_rew", "20", "--formation_rew", "5",
+    "--fair_rew", "5", "--compute_dtype", "float32",
+]
+
+
+def main(n_eval=256, run=RUN, ref=REF):
+    from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        restore_reference_policy,
+    )
+
+    for cname, extra in CONFIGS.items():
+        args = parse_all(BASE + extra)
+        env_params, policy, trainer, runner = build(args)
+        ts = trainer.init_state(jax.random.PRNGKey(1))
+        eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
+        ts_ours, ep = restore_checkpoint(run, ts)
+        print(f"== {cname} == (ours: episode {ep} from {run})")
+        for name, t in [
+            ("ours-from-scratch", ts_ours),
+            ("reference-trained", ts.replace(
+                params=restore_reference_policy(ref, policy.cfg, ts.params))),
+        ]:
+            agg = {}
+            for s in range(4):
+                out = {k: float(np.asarray(v))
+                       for k, v in eval_fn(t, jax.random.PRNGKey(100 + s)).items()}
+                for k, v in out.items():
+                    agg.setdefault(k, []).append(v)
+            print(f"[{name}] " + " ".join(
+                f"{k.replace('eval_', '')}={np.mean(v):.4f}"
+                for k, v in agg.items()))
+
+
+if __name__ == "__main__":
+    main(run=sys.argv[1] if len(sys.argv) > 1 else RUN,
+         ref=sys.argv[2] if len(sys.argv) > 2 else REF)
