@@ -13,13 +13,15 @@ import json
 import time
 
 
-def _wait_for_axon_relay(max_wait_s: float = 360.0):
+def _wait_for_axon_relay(max_wait_s: float = 240.0):
     """If the axon relay is down, backend init (even at package IMPORT time —
     envs/env.py touches jax at module level) hangs forever with no error.
     Probe the relay port and wait (bounded) for it to come back so a
     transient outage delays the bench instead of eating the caller's whole
-    timeout inside a silent hang.  Proceeds regardless after the window —
-    the transport may not use this port everywhere."""
+    timeout inside a silent hang.  If the relay is still down at the
+    deadline, emit one explicit JSON error line on stdout and exit nonzero
+    IMMEDIATELY — importing jax with the relay down hangs until the caller's
+    timeout with no output at all (round-2 BENCH capture died this way)."""
     import socket
     import sys
 
@@ -38,10 +40,60 @@ def _wait_for_axon_relay(max_wait_s: float = 360.0):
             time.sleep(10)
         finally:
             s.close()
-    print("bench: relay still down after wait; attempting anyway", file=sys.stderr)
+    print("bench: relay still down after wait; failing fast", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "env-steps/s (1 chip)",
+                "value": None,
+                "unit": "env-steps/s",
+                "vs_baseline": None,
+                "error": "axon relay down (127.0.0.1:8082 refused) after "
+                         f"{max_wait_s:.0f}s wait; device init would hang",
+            }
+        )
+    )
+    sys.exit(1)
+
+
+def _start_watchdog(budget_s: float = 540.0):
+    """Last-resort guard: if anything past the relay probe hangs (e.g. the
+    port answers but backend init stalls), emit the JSON error line and
+    hard-exit instead of eating the caller's timeout silently."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _fire():
+        if done.wait(budget_s):
+            return
+        print(
+            json.dumps(
+                {
+                    "metric": "env-steps/s (1 chip)",
+                    "value": None,
+                    "unit": "env-steps/s",
+                    "vs_baseline": None,
+                    "error": f"bench watchdog fired after {budget_s:.0f}s "
+                             "(device init or compile hung)",
+                }
+            ),
+            flush=True,
+        )
+        sys.stdout.flush()
+        os._exit(3)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done
 
 
 _wait_for_axon_relay()
+# worst case: 240s relay wait + 330s watchdog = 570s < the 600s driver window
+_WATCHDOG_DONE = _start_watchdog(
+    float(__import__("os").environ.get("GRAFT_BENCH_WATCHDOG_S", "330"))
+)
 
 import numpy as np
 
@@ -93,6 +145,7 @@ def main():
 
     env_steps = ENVS * STEPS * iters
     sps = env_steps / dt
+    _WATCHDOG_DONE.set()
     print(
         json.dumps(
             {

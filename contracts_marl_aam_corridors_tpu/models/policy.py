@@ -61,8 +61,9 @@ class GRMAPPOPolicy:
         self.critic = GRCritic(cfg)
         # BPTT structure: "batched" runs the GNN/MLP trunk over all timesteps
         # in one launch and scans only the GRU head; "scanned" keeps the whole
-        # network inside the time scan (lower peak memory).
-        self.trunk_mode = "batched"
+        # network inside the time scan (lower peak memory).  "scanned" is
+        # GATED on TPU — see the trunk_mode property.
+        self._trunk_mode = "batched"
         # Fused trunks: the actor and critic GNNs have identical parameter
         # structures, so the PPO update can run BOTH as one vmapped launch
         # over stacked params.  MEASURED: 1.20x standalone on the double-GNN
@@ -89,6 +90,28 @@ class GRMAPPOPolicy:
 
         self.actor_tx = make_opt(lr)
         self.critic_tx = make_opt(critic_lr)
+
+    @property
+    def trunk_mode(self) -> str:
+        return self._trunk_mode
+
+    @trunk_mode.setter
+    def trunk_mode(self, value: str) -> None:
+        if value not in ("batched", "scanned"):
+            raise ValueError(f"unknown trunk_mode {value!r}")
+        if value == "scanned":
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                raise RuntimeError(
+                    "trunk_mode='scanned' is disabled on TPU: the full-network "
+                    "time scan produces an HLO graph that reliably crashes the "
+                    "remote compile helper (HTTP 500 / SIGSEGV) on this "
+                    "deployment (see BENCH_NOTES.md). Use the default "
+                    "'batched' mode (trunk over all timesteps in one launch, "
+                    "GRU-only scan) — it is also the faster formulation."
+                )
+        self._trunk_mode = value
 
     # ---------------- init ----------------
     def init_params(self, key: Array, dtype=jnp.float32) -> PolicyParams:

@@ -26,8 +26,9 @@ def main():
     ap.add_argument("--num_processes", type=int, required=True)
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--local_devices", type=int, default=2)
-    ap.add_argument("--envs_per_device", type=int, default=4)
+    ap.add_argument("--envs_per_device", type=int, default=2)
     ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--ppo_epoch", type=int, default=1)
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -74,7 +75,7 @@ def main():
     )
     policy = GRMAPPOPolicy(cfg, dims)
     trainer = GRMAPPOTrainer(
-        policy, ppo_epoch=2, num_mini_batch=1, data_chunk_length=8
+        policy, ppo_epoch=args.ppo_epoch, num_mini_batch=1, data_chunk_length=8
     )
     runner = Runner(
         env_params=env_params, policy=policy, trainer=trainer,
