@@ -332,6 +332,8 @@ def build_model_config(args):
         hidden_size=args.hidden_size,
         layer_N=args.layer_N,
         use_relu=args.use_ReLU,
+        embed_use_relu=args.embed_use_ReLU,
+        gnn_use_relu=args.gnn_use_ReLU,
         use_feature_normalization=args.use_feature_normalization,
         use_orthogonal=args.use_orthogonal,
         gain=args.gain,

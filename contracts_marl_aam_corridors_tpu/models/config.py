@@ -22,6 +22,16 @@ class ModelConfig:
     use_recurrent_policy: bool = True
     recurrent_n: int = 1
     # GNN
+    # The reference keeps SEPARATE activation flags for the GNN: the MLP
+    # trunk follows use_ReLU (config.py --use_ReLU, False = Tanh) while
+    # EmbedConv follows embed_use_ReLU and the TransformerConv stack follows
+    # gnn_use_ReLU (gnn_new.py:66,227,270) — both default True and are True
+    # in every shipped checkpoint, INCLUDING the Tanh-MLP runs
+    # (model_weights/tube/rotate: use_ReLU False, gnn/embed_use_ReLU True).
+    # A single shared flag silently tanh-ifies the GNN on import of such
+    # checkpoints and breaks their behavior.
+    embed_use_relu: bool = True
+    gnn_use_relu: bool = True
     num_embeddings: int = 4
     embedding_size: int = 2
     embed_hidden_size: int = 16

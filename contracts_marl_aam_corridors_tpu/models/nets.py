@@ -223,8 +223,10 @@ class EmbedConv(nn.Module):
         # x: (E, F) with entity type in the last column; edge_mask/attr: (E, E)
         cfg = self.cfg
         E = x.shape[0]
-        act = nn.relu if cfg.use_relu else nn.tanh
-        gain = RELU_GAIN if cfg.use_relu else TANH_GAIN
+        # EmbedConv has its OWN activation flag (gnn_new.py:66 via
+        # embed_use_ReLU:163,242), independent of the MLP trunk's use_ReLU.
+        act = nn.relu if cfg.embed_use_relu else nn.tanh
+        gain = RELU_GAIN if cfg.embed_use_relu else TANH_GAIN
 
         feat = x[:, :-1]
         etype = x[:, -1].astype(jnp.int32)
@@ -361,7 +363,8 @@ class GNNBase(nn.Module):
     @nn.compact
     def __call__(self, node_obs: Array, adj: Array, agent_id: Array) -> Array:
         cfg = self.cfg
-        act = nn.relu if cfg.use_relu else nn.tanh
+        # conv-stack activation = gnn_use_ReLU (gnn_new.py:270), NOT use_ReLU
+        act = nn.relu if cfg.gnn_use_relu else nn.tanh
         edge_mask, edge_attr = adjacency_mask(adj, cfg.max_edge_dist)
         cdt = compute_dtype(cfg)
         node_obs = node_obs.astype(cdt)
@@ -457,7 +460,8 @@ def gnn_transposed_apply(cfg: ModelConfig, gparams: dict, node_obs: Array,
     flat = _flatten_gnn_params(gparams, cfg.embed_layer_n, cfg.gnn_layer_n)
     out = xla_transposed_forward(
         E, Ds, cfg.gnn_num_heads, C, cfg.embed_layer_n, cfg.gnn_layer_n,
-        cfg.max_edge_dist, cfg.use_relu, flat, src_T, adj_T,
+        cfg.max_edge_dist, (cfg.embed_use_relu, cfg.gnn_use_relu),
+        flat, src_T, adj_T,
         compute_dtype=cdt,
     )  # (E*C, B) float32
     out = out.astype(cdt)

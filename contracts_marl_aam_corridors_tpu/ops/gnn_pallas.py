@@ -48,6 +48,21 @@ NEG_F32 = float(jnp.finfo(jnp.float32).min)
 LN_EPS = 1e-5
 
 
+
+def _acts(use_relu):
+    """(embed_act, gnn_act) from a bool (legacy: both) or (embed, gnn) pair.
+
+    The reference keeps separate activation flags: EmbedConv follows
+    embed_use_ReLU, the TransformerConv stack follows gnn_use_ReLU
+    (gnn_new.py:66,227,270); both are independent of the MLP trunk's use_ReLU.
+    """
+    if isinstance(use_relu, tuple):
+        embed_relu, gnn_relu = use_relu
+    else:
+        embed_relu = gnn_relu = use_relu
+    mk = lambda r: (lambda v: jnp.maximum(v, 0.0)) if r else jnp.tanh
+    return mk(embed_relu), mk(gnn_relu)
+
 def _dot(w, x):
     return jax.lax.dot_general(
         w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -72,7 +87,7 @@ def make_gnn_forward_v2(
     where ``params_flat`` is the tuple layout produced by
     :func:`flatten_gnn_params`.
     """
-    act = (lambda v: jnp.maximum(v, 0.0)) if use_relu else jnp.tanh
+    embed_act, gnn_act = _acts(use_relu)
     n_tc = 1 + gnn_layer_n
     inv_sqrt_c = 1.0 / (C ** 0.5)
     EC = E * C
@@ -128,9 +143,9 @@ def make_gnn_forward_v2(
         x = []  # per-entity (C, blk)
         for t in range(E):
             dw = _dot(U, dm_cols[t]) * w_e1  # (E*C, blk)
-            m = group_ln(act(h_src + dw), ln1_s, ln1_b)
+            m = group_ln(embed_act(h_src + dw), ln1_s, ln1_b)
             for (Wl, bl, lns, lnb) in embed_layers:
-                m = group_ln(act(_dot(Wl, m) + bl), lns, lnb)
+                m = group_ln(embed_act(_dot(Wl, m) + bl), lns, lnb)
             mask_up = _dot(U, m_cols[t])
             x.append(_dot(K, m * mask_up))  # sum_s mask * msg
 
@@ -164,7 +179,7 @@ def make_gnn_forward_v2(
                 new_x.append(head_sum / H)
             skip = _dot(Wskip, X) + bskip  # (E*C, blk)
             x = [
-                act(new_x[t] + skip[t * C:(t + 1) * C, :]) for t in range(E)
+                gnn_act(new_x[t] + skip[t * C:(t + 1) * C, :]) for t in range(E)
             ]
 
         out_ref[:] = jnp.concatenate(x, axis=0)
@@ -301,7 +316,7 @@ def make_gnn_forward(
     Returns ``fwd(params_flat, src_aug_T, adj_T) -> (E*C, B)`` with
     ``params_flat`` from :func:`flatten_gnn_params`.
     """
-    act = (lambda v: jnp.maximum(v, 0.0)) if use_relu else jnp.tanh
+    embed_act, gnn_act = _acts(use_relu)
     n_tc = 1 + gnn_layer_n
     cdt = compute_dtype
     inv_sqrt_c = float(1.0 / (C ** 0.5))
@@ -353,9 +368,9 @@ def make_gnn_forward(
             acc = jnp.zeros((C, blk), cdt)
             for s in range(E):
                 d = d_rows[s * E + t]
-                m = ln(act(h_src[s] + d * w_e1[:, 0][:, None]), ln1_s, ln1_b)
+                m = ln(embed_act(h_src[s] + d * w_e1[:, 0][:, None]), ln1_s, ln1_b)
                 for (Wl, bl, lns, lnb) in embed_layers:
-                    m = ln(act(dot(Wl, m) + bl[:, 0][:, None]), lns, lnb)
+                    m = ln(embed_act(dot(Wl, m) + bl[:, 0][:, None]), lns, lnb)
                 acc = acc + m_rows[s * E + t] * m
             x.append(acc)
 
@@ -393,7 +408,7 @@ def make_gnn_forward(
                     head_sum = head_sum + o
                 out_t = head_sum / H + dot(Wskip, x[t]) + bskip[:, 0][:, None]
                 new_x.append(out_t)
-            x = [act(v) for v in new_x]
+            x = [gnn_act(v) for v in new_x]
 
         out_ref[:] = jnp.concatenate(x, axis=0).astype(jnp.float32)
 
@@ -470,7 +485,7 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
     Same unrolled 2-D structure as the pallas kernel but differentiable —
     if XLA schedules it comparably, the backward comes for free.
     """
-    act = (lambda v: jnp.maximum(v, 0.0)) if use_relu else jnp.tanh
+    embed_act, gnn_act = _acts(use_relu)
     cdt = compute_dtype
     inv_sqrt_c = float(1.0 / (C ** 0.5))
     B = src_aug_T.shape[-1]
@@ -513,9 +528,9 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
         acc = jnp.zeros((C, B), cdt)
         for s in range(E):
             d = d_rows[s * E + t]
-            m = ln(act(h_src[s] + d * w_e1[:, 0][:, None]), ln1_s, ln1_b)
+            m = ln(embed_act(h_src[s] + d * w_e1[:, 0][:, None]), ln1_s, ln1_b)
             for (Wl, bl, lns, lnb) in embed_layers:
-                m = ln(act(dot(Wl, m) + bl[:, 0][:, None]), lns, lnb)
+                m = ln(embed_act(dot(Wl, m) + bl[:, 0][:, None]), lns, lnb)
             acc = acc + m_rows[s * E + t] * m
         x.append(acc)
 
@@ -552,5 +567,5 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
                 o = o + ad * weh
                 head_sum = head_sum + o
             new_x.append(head_sum / H + dot(Wskip, x[t]) + bskip[:, 0][:, None])
-        x = [act(v) for v in new_x]
+        x = [gnn_act(v) for v in new_x]
     return jnp.concatenate(x, axis=0).astype(jnp.float32)

@@ -146,16 +146,20 @@ def _sparse_gnn_forward(sd, cfg, node_obs, adj, agent_id, graph_aggr):
     return x.mean(0)
 
 
-def _oracle_actor_logits(sd, cfg, obs, node_obs, adj, agent_id, h):
+def _oracle_actor_logits(sd, cfg, obs, node_obs, adj, agent_id, h, mlp_relu=True):
+    # NB: the GNN inside _sparse_gnn_forward is ALWAYS ReLU (gnn/embed_use_ReLU
+    # default True in every shipped checkpoint); mlp_relu mirrors use_ReLU,
+    # which only governs the MLP trunk (mlp.py via config.py --use_ReLU).
+    mlp_act = (lambda v: np.maximum(v, 0)) if mlp_relu else np.tanh
     nbd = _sparse_gnn_forward(sd, cfg, node_obs, adj, agent_id, "node")
     x = np.concatenate([obs, nbd])
     x = _ln_np(x, sd["base.feature_norm.weight"], sd["base.feature_norm.bias"])
     x = _ln_np(
-        np.maximum(x @ sd["base.mlp.fc1.0.weight"].T + sd["base.mlp.fc1.0.bias"], 0),
+        mlp_act(x @ sd["base.mlp.fc1.0.weight"].T + sd["base.mlp.fc1.0.bias"]),
         sd["base.mlp.fc1.2.weight"], sd["base.mlp.fc1.2.bias"],
     )
     x = _ln_np(
-        np.maximum(x @ sd["base.mlp.fc2.0.0.weight"].T + sd["base.mlp.fc2.0.0.bias"], 0),
+        mlp_act(x @ sd["base.mlp.fc2.0.0.weight"].T + sd["base.mlp.fc2.0.0.bias"]),
         sd["base.mlp.fc2.0.2.weight"], sd["base.mlp.fc2.0.2.bias"],
     )
     # GRU single step
@@ -169,6 +173,43 @@ def _oracle_actor_logits(sd, cfg, obs, node_obs, adj, agent_id, h):
     hid = (1 - z) * n + z * h
     x = _ln_np(hid, sd["rnn.norm.weight"], sd["rnn.norm.bias"])
     return x @ sd["act.action_out.linear.weight"].T + sd["act.action_out.linear.bias"]
+
+
+@pytest.mark.skipif(not ACTOR_PT, reason="reference weights absent")
+def test_actor_import_tanh_mlp_checkpoint():
+    """Tanh-MLP checkpoints (use_ReLU=False) still have a ReLU GNN.
+
+    The reference keeps separate activation flags — embed_use_ReLU /
+    gnn_use_ReLU (True in every shipped run) vs use_ReLU (False for the
+    Tanh-MLP runs like model_weights/tube/rotate) — so the import must NOT
+    tie the GNN activation to use_ReLU.  Regression test for the bug that
+    silently tanh-ified the GNN and broke tube/rotate eval (round 3).
+    """
+    path = "/root/reference/model_weights/tube/rotate/actor.pt"
+    if path not in ACTOR_PT:
+        pytest.skip("tube/rotate weights absent")
+    sd = _load_state_dict(path)
+    cfg = ModelConfig(max_edge_dist=5.0, use_relu=False)  # gnn/embed stay ReLU
+    params = import_actor(path, cfg)
+    actor = GRActor(cfg, sd["act.action_out.linear.weight"].shape[0])
+    rng = np.random.RandomState(7)
+    E = 6
+    for b in range(3):
+        node_obs = rng.randn(E, 8).astype(np.float32)
+        node_obs[:, -1] = rng.randint(0, 3, E)
+        pos = rng.randn(E, 2).astype(np.float32) * 1.5
+        adj = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1).astype(np.float32)
+        obs = rng.randn(19).astype(np.float32)
+        h = rng.randn(64).astype(np.float32) * 0.5
+        aid = b % E
+        want = _oracle_actor_logits(sd, cfg, obs, node_obs, adj, aid, h, mlp_relu=False)
+        got, _ = actor.apply(
+            {"params": params},
+            jnp.asarray(obs)[None], jnp.asarray(node_obs)[None],
+            jnp.asarray(adj)[None], jnp.asarray([[aid]], dtype=jnp.int32),
+            jnp.asarray(h)[None, None, :], jnp.ones((1, 1), jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(got)[0], want, rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.skipif(not ACTOR_PT, reason="reference weights absent")
@@ -500,7 +541,8 @@ def test_transposed_gnn_matches_dense():
     # fp-noise-level (1e-6) differences in pre-activations flip relu' at
     # near-zero units, swapping valid subgradients (the tanh control matches
     # to 4e-6, proving the formulations agree; see round-2 investigation)
-    cfg = ModelConfig(max_edge_dist=3.0, compute_dtype="float32", use_relu=False)
+    cfg = ModelConfig(max_edge_dist=3.0, compute_dtype="float32",
+                      embed_use_relu=False, gnn_use_relu=False)
     gnn_n = GNNBase(cfg, graph_aggr="node")
     params = gnn_n.init(jax.random.PRNGKey(0), jnp.asarray(node_obs[0]),
                         jnp.asarray(adj[0]), jnp.asarray(aid[0]))["params"]
