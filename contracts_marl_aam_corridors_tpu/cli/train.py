@@ -260,6 +260,23 @@ def main(argv=None):
     from ..utils.checkpoint import save_checkpoint
     from ..utils.logging import MetricsLogger, agent_env_infos, print_box
 
+    if args.warm_start_dir and not args.model_dir:
+        # adopt the source checkpoint's activation flags BEFORE building the
+        # model: these change the function without changing param shapes, so
+        # a mismatch warm-starts cleanly into a broken policy (see
+        # utils/checkpoint.py _ARCH_ACT_FLAGS)
+        from ..utils.checkpoint import warm_start_arch_flags
+
+        for k, v in warm_start_arch_flags(args.warm_start_dir).items():
+            if getattr(args, k) != v:
+                print(
+                    f"warm start: adopting {k}={v} from the checkpoint's "
+                    f"config.yaml (run requested {getattr(args, k)}; the "
+                    f"activation must match the loaded weights)",
+                    flush=True,
+                )
+                setattr(args, k, v)
+
     env_params, policy, trainer, runner = build(args)
 
     run_dir = os.path.join(

@@ -120,6 +120,43 @@ def restore_reference_policy(model_dir: str, cfg, params_template):
 # remapped rot_inv checkpoint evaluates at 0.974 success on three_phase
 # with zero further training (BENCH_NOTES.md).
 
+# Flags that change the network FUNCTION without changing any parameter
+# shape: a mismatched warm start loads cleanly and computes garbage (a
+# tanh-GNN rot_inv checkpoint fine-tuned under the post-split ReLU-GNN
+# defaults evaluated at 0.000 gate success where zero-shot transfer of the
+# same weights scores 0.831).  Architecture-shape flags don't need this
+# guard — they fail loudly in ``adopt`` with a tree/shape error.
+_ARCH_ACT_FLAGS = ("use_ReLU", "embed_use_ReLU", "gnn_use_ReLU")
+
+
+def warm_start_arch_flags(model_dir: str) -> dict:
+    """Activation flags recorded by the warm-start source's config.yaml.
+
+    Accepts the same dir layouts as ``warm_start_params``: a run/models dir
+    or checked-in weight dir (config.yaml beside latest.json / ckpt_*), a
+    direct ckpt_<N> dir (config.yaml in the parent), or a reference torch
+    dir (wandb-format config.yaml beside actor.pt).  Returns {flag: bool}
+    for each of ``_ARCH_ACT_FLAGS`` the yaml records; {} if no config.yaml
+    exists.
+    """
+    cands = [model_dir, os.path.join(model_dir, "models")]
+    base = os.path.basename(os.path.normpath(model_dir))
+    if base.startswith("ckpt_"):
+        cands.append(os.path.dirname(os.path.normpath(model_dir)))
+    for d in cands:
+        if os.path.exists(os.path.join(d, "config.yaml")):
+            rec = load_run_config(d)
+            out = {}
+            for k in _ARCH_ACT_FLAGS:
+                if k in rec and rec[k] is not None:
+                    v = rec[k]
+                    if isinstance(v, str):
+                        v = v.strip().lower() in ("1", "true", "yes", "y", "t")
+                    out[k] = bool(v)
+            return out
+    return {}
+
+
 # (old_obs_dim, new_obs_dim) -> (insert position, count) in the obs vector.
 _OBS_LAYOUT_INSERTS = {(13, 15): (12, 2)}
 

@@ -7,9 +7,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from contracts_marl_aam_corridors_tpu.cli.train import build
-from contracts_marl_aam_corridors_tpu.config.flags import parse_all
-
 RUN = "/root/repo/results/GraphMPE/nav_graph_metered_single_corridor_rot_inv/rmappo/ref_recipe_rot_inv/seed0/models"
 REF = "/root/reference/model_weights/tube/rot_inv/airtaxi"
 
@@ -25,21 +22,20 @@ RECIPE = [
 
 
 def main(n_eval=256):
-    args = parse_all(RECIPE)
-    env_params, policy, trainer, runner = build(args)
-    ts = trainer.init_state(jax.random.PRNGKey(1))
-    eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
-
     from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
         restore_checkpoint,
         restore_reference_policy,
     )
+    from _eval_common import build_for
 
-    ts_ours, ep = restore_checkpoint(RUN, ts)
-    for name, t in [
-        ("ours-from-scratch", ts_ours),
-        ("reference-trained", ts.replace(
-            params=restore_reference_policy(REF, policy.cfg, ts.params))),
+    # each side's model uses the activation flags its config.yaml records
+    pol_o, ts_o, eval_o = build_for(RECIPE, RUN, n_eval)
+    pol_r, ts_r, eval_r = build_for(RECIPE, REF, n_eval)
+    ts_ours, ep = restore_checkpoint(RUN, ts_o)
+    for name, t, eval_fn in [
+        ("ours-from-scratch", ts_ours, eval_o),
+        ("reference-trained", ts_r.replace(
+            params=restore_reference_policy(REF, pol_r.cfg, ts_r.params)), eval_r),
     ]:
         agg = {}
         for s in range(4):  # 4 x n_eval episodes

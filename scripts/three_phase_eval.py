@@ -10,9 +10,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from contracts_marl_aam_corridors_tpu.cli.train import build
-from contracts_marl_aam_corridors_tpu.config.flags import parse_all
-
 RUN = ("/root/repo/results/GraphMPE/three_phase_graph/rmappo/"
        "ref_recipe_three_phase_graph_warm/seed0/models")
 REF = "/root/reference/model_weights/tube/rot_inv/airtaxi/three_phase"
@@ -30,22 +27,21 @@ RECIPE = [
 
 
 def main(n_eval=256, run=RUN, ref=REF):
-    args = parse_all(RECIPE)
-    env_params, policy, trainer, runner = build(args)
-    ts = trainer.init_state(jax.random.PRNGKey(1))
-    eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
-
     from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
         restore_checkpoint,
         restore_reference_policy,
     )
+    from _eval_common import build_for
 
-    ts_ours, ep = restore_checkpoint(run, ts)
+    # each side's model uses the activation flags its config.yaml records
+    pol_o, ts_o, eval_o = build_for(RECIPE, run, n_eval)
+    pol_r, ts_r, eval_r = build_for(RECIPE, ref, n_eval)
+    ts_ours, ep = restore_checkpoint(run, ts_o)
     print(f"ours: episode {ep} from {run}")
-    for name, t in [
-        ("ours-warm-started-from-our-rot_inv", ts_ours),
-        ("reference-trained", ts.replace(
-            params=restore_reference_policy(ref, policy.cfg, ts.params))),
+    for name, t, eval_fn in [
+        ("ours-warm-started-from-our-rot_inv", ts_ours, eval_o),
+        ("reference-trained", ts_r.replace(
+            params=restore_reference_policy(ref, pol_r.cfg, ts_r.params)), eval_r),
     ]:
         agg = {}
         for s in range(4):

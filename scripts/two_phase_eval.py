@@ -18,9 +18,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from contracts_marl_aam_corridors_tpu.cli.train import build
-from contracts_marl_aam_corridors_tpu.config.flags import parse_all
-
 RUN = ("/root/repo/results/GraphMPE/old_two_graph/rmappo/"
        "ref_recipe_old_two_graph/seed0/models")
 REF = "/root/reference/model_weights/tube/rot_inv/airtaxi/two_phase_only"
@@ -47,17 +44,18 @@ def main(n_eval=256, run=RUN, ref=REF):
         restore_reference_policy,
     )
 
+    from _eval_common import build_for
+
     for cname, extra in CONFIGS.items():
-        args = parse_all(BASE + extra)
-        env_params, policy, trainer, runner = build(args)
-        ts = trainer.init_state(jax.random.PRNGKey(1))
-        eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
-        ts_ours, ep = restore_checkpoint(run, ts)
+        # each side's model uses the activation flags its config.yaml records
+        pol_o, ts_o, eval_o = build_for(BASE + extra, run, n_eval)
+        pol_r, ts_r, eval_r = build_for(BASE + extra, ref, n_eval)
+        ts_ours, ep = restore_checkpoint(run, ts_o)
         print(f"== {cname} == (ours: episode {ep} from {run})")
-        for name, t in [
-            ("ours-from-scratch", ts_ours),
-            ("reference-trained", ts.replace(
-                params=restore_reference_policy(ref, policy.cfg, ts.params))),
+        for name, t, eval_fn in [
+            ("ours-from-scratch", ts_ours, eval_o),
+            ("reference-trained", ts_r.replace(
+                params=restore_reference_policy(ref, pol_r.cfg, ts_r.params)), eval_r),
         ]:
             agg = {}
             for s in range(4):

@@ -14,6 +14,7 @@ from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
     _obs_index_map,
     _remap_rows,
     _resolve_ckpt_path,
+    warm_start_arch_flags,
     warm_start_params,
 )
 
@@ -61,6 +62,56 @@ def test_resolve_ckpt_path_layouts(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         _resolve_ckpt_path(str(empty))  # no latest.json and no ckpt_* inside
+
+
+def test_warm_start_arch_flags_layouts(tmp_path):
+    import yaml
+
+    # our flat layout: config.yaml directly in the dir
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "config.yaml").write_text(yaml.safe_dump(
+        {"use_ReLU": False, "embed_use_ReLU": False, "gnn_use_ReLU": False}))
+    assert warm_start_arch_flags(str(flat)) == {
+        "use_ReLU": False, "embed_use_ReLU": False, "gnn_use_ReLU": False}
+
+    # run dir layout: config.yaml under models/
+    run = tmp_path / "run"
+    (run / "models").mkdir(parents=True)
+    (run / "models" / "config.yaml").write_text(yaml.safe_dump(
+        {"use_ReLU": True, "gnn_use_ReLU": False}))
+    assert warm_start_arch_flags(str(run)) == {
+        "use_ReLU": True, "gnn_use_ReLU": False}
+
+    # direct ckpt_<N> dir: config.yaml in the parent
+    ck = run / "models" / "ckpt_3"
+    ck.mkdir()
+    assert warm_start_arch_flags(str(ck)) == {
+        "use_ReLU": True, "gnn_use_ReLU": False}
+
+    # reference wandb export format ({key: {value: v}}, possibly strings)
+    ref = tmp_path / "ref"
+    ref.mkdir()
+    (ref / "config.yaml").write_text(yaml.safe_dump({
+        "use_ReLU": {"desc": None, "value": "False"},
+        "embed_use_ReLU": {"desc": None, "value": True},
+        "gnn_use_ReLU": {"desc": None, "value": "True"},
+    }))
+    assert warm_start_arch_flags(str(ref)) == {
+        "use_ReLU": False, "embed_use_ReLU": True, "gnn_use_ReLU": True}
+
+    # no config.yaml at all -> {}
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    assert warm_start_arch_flags(str(bare)) == {}
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT), reason="checked-in ckpt absent")
+def test_warm_start_arch_flags_checked_in_ckpt():
+    # the checked-in rot_inv run trained with a tanh GNN under the pre-split
+    # single flag; its rewritten config.yaml must keep saying so (CLAUDE.md)
+    assert warm_start_arch_flags(CKPT) == {
+        "use_ReLU": False, "embed_use_ReLU": False, "gnn_use_ReLU": False}
 
 
 @pytest.mark.skipif(not os.path.isdir(CKPT), reason="checked-in ckpt absent")
