@@ -15,6 +15,14 @@ serializes cluster launches (two overlapping clusters on a 1-core box is a
 guaranteed flake), every spawned worker PID is tracked and SIGKILL-reaped in
 a module finalizer (SIGTERM has been observed ignored), and the per-worker
 workload is the smallest one that still exercises real sharding.
+
+The run is compile-dominated (~816 s of the solo ~14 min on a 1-core box is
+the two workers' sharded-step compiles), so no workload shrink survives an
+UNRELATED heavy process owning the core — measured: with a trainer at ~95%
+CPU the workers blow a 1200 s budget that solo runs meet with 30% slack.
+The module therefore measures external CPU pressure up front and SKIPS
+loudly (not flakes) when more than half the machine's cycles already belong
+to other processes; rerun solo for signal.
 """
 import fcntl
 import json
@@ -23,12 +31,41 @@ import signal
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOCKFILE = "/tmp/graft_mp_cluster.lock"
+
+
+def _external_cpu_busy_fraction(interval: float = 1.5) -> float:
+    """Fraction of ALL cpu cycles spent in processes other than this one
+    over ``interval`` (0.0 idle .. 1.0 fully busy elsewhere)."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t0, i0 = snap()
+    p0 = sum(os.times()[:2])
+    time.sleep(interval)
+    t1, i1 = snap()
+    p1 = sum(os.times()[:2])
+    total = max(t1 - t0, 1)
+    self_ticks = (p1 - p0) * os.sysconf("SC_CLK_TCK")
+    return max(0.0, (total - (i1 - i0) - self_ticks) / total)
+
+
+_BUSY = _external_cpu_busy_fraction()
+pytestmark = pytest.mark.skipif(
+    _BUSY > 0.5,
+    reason=f"external CPU load {_BUSY:.0%}: the 2-process cluster is "
+    "compile-dominated and needs the machine to itself — rerun solo "
+    "(see module docstring)",
+)
 
 _SPAWNED = []  # every worker Popen ever created, for the finalizer
 
