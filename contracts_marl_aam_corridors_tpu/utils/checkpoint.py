@@ -37,14 +37,17 @@ def save_checkpoint(save_dir: str, ts, episode: int, config: Optional[dict] = No
 
 
 def restore_checkpoint(save_dir: str, ts_template) -> tuple[Any, int]:
+    """Restore a full TrainState.  ``save_dir`` may be a run/models dir
+    (latest.json wins), a direct ckpt_<N> dir, or a dir containing ckpt_<N>
+    subdirs (highest N wins) — same layouts as ``_resolve_ckpt_path``."""
     import orbax.checkpoint as ocp
 
-    with open(os.path.join(save_dir, "latest.json")) as f:
-        meta = json.load(f)
+    path = _resolve_ckpt_path(save_dir)
+    episode = int(os.path.basename(path).split("_")[1])
     with ocp.StandardCheckpointer() as ckptr:
         target = jax.tree.map(np.asarray, ts_template)
-        ts = ckptr.restore(meta["path"], target)
-    return ts, meta["episode"]
+        ts = ckptr.restore(path, target)
+    return ts, episode
 
 
 def load_run_config(model_dir: str) -> dict:
