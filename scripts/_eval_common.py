@@ -10,6 +10,7 @@ in its config.yaml (utils/checkpoint.py warm_start_arch_flags); builds are
 cached by flag tuple so identical-architecture sides share one compile.
 """
 import jax
+import numpy as np
 
 from contracts_marl_aam_corridors_tpu.cli.train import build
 from contracts_marl_aam_corridors_tpu.config.flags import parse_all
@@ -33,3 +34,20 @@ def build_for(base_argv, src_dir, n_eval, _cache={}):
         eval_fn = jax.jit(lambda t, k: runner.eval_episode(t, k, n_eval))
         _cache[key] = (policy, ts, eval_fn)
     return _cache[key]
+
+
+def run_side(name, ts, eval_fn, seeds=4):
+    """Mean eval metrics over ``seeds`` deterministic batched evals
+    (PRNGKey(100+s), the convention every comparison script shares).
+    Prints one line and returns the {metric: mean} row."""
+    agg = {}
+    for s in range(seeds):
+        out = {k: float(np.asarray(v))
+               for k, v in eval_fn(ts, jax.random.PRNGKey(100 + s)).items()}
+        for k, v in out.items():
+            agg.setdefault(k, []).append(v)
+    row = {k.replace("eval_", ""): round(float(np.mean(v)), 4)
+           for k, v in agg.items()}
+    print(f"[{name}] " + " ".join(f"{k}={v:.4f}" for k, v in row.items()),
+          flush=True)
+    return row

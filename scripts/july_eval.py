@@ -1,8 +1,9 @@
 """July head-to-head: our checkpoint from the reference's own july pipeline
 (metered_formation_rotate.sh: warm-start from FA_FR/metered, unicycle,
-ep150, 15M steps) vs `old_FA_FR/tube/jul/rots` — the artifact that exact
-script produced (its config.yaml records the same scenario and
-`model_dir: model_weights/FA_FR/metered`).  Same batched deterministic
+ep150, 15M steps) vs `old_FA_FR/tube/jul/rots` — produced by an earlier run
+of the same pipeline (same scenario and `model_dir:
+model_weights/FA_FR/metered`; trained at ep120/10M per its config.yaml,
+where the checked-in script now says ep150/15M).  Same batched deterministic
 harness (4 x 256 episodes), each side's model built with the activation
 flags its own config.yaml records (scripts/_eval_common.py).
 
@@ -17,8 +18,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax
-import numpy as np
 
 RUN = ("/root/repo/results/GraphMPE/nav_metered_one_goal_graph_rotate_tube_july/"
        "rmappo/ref_pipeline_july_warm_metered/seed0/models")
@@ -38,25 +37,12 @@ def recipe(ep_len):
     ]
 
 
-def run_side(name, t, eval_fn, seeds=4):
-    agg = {}
-    for s in range(seeds):
-        out = {k: float(np.asarray(v))
-               for k, v in eval_fn(t, jax.random.PRNGKey(100 + s)).items()}
-        for k, v in out.items():
-            agg.setdefault(k, []).append(v)
-    row = {k.replace("eval_", ""): round(float(np.mean(v)), 4)
-           for k, v in agg.items()}
-    print(name, row, flush=True)
-    return row
-
-
 def main(run=RUN, n_eval=256):
     from contracts_marl_aam_corridors_tpu.utils.checkpoint import (
         restore_checkpoint,
         restore_reference_policy,
     )
-    from _eval_common import build_for
+    from _eval_common import build_for, run_side
 
     pol_o, ts_o, eval_o = build_for(recipe(150), run, n_eval)
     ts_ours, ep = restore_checkpoint(run, ts_o)

@@ -7,8 +7,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax
-import numpy as np
 
 RUN = ("/root/repo/results/GraphMPE/three_phase_graph/rmappo/"
        "ref_recipe_three_phase_graph_warm/seed0/models")
@@ -31,26 +29,16 @@ def main(n_eval=256, run=RUN, ref=REF):
         restore_checkpoint,
         restore_reference_policy,
     )
-    from _eval_common import build_for
+    from _eval_common import build_for, run_side
 
     # each side's model uses the activation flags its config.yaml records
     pol_o, ts_o, eval_o = build_for(RECIPE, run, n_eval)
     pol_r, ts_r, eval_r = build_for(RECIPE, ref, n_eval)
     ts_ours, ep = restore_checkpoint(run, ts_o)
     print(f"ours: episode {ep} from {run}")
-    for name, t, eval_fn in [
-        ("ours-warm-started-from-our-rot_inv", ts_ours, eval_o),
-        ("reference-trained", ts_r.replace(
-            params=restore_reference_policy(ref, pol_r.cfg, ts_r.params)), eval_r),
-    ]:
-        agg = {}
-        for s in range(4):
-            out = {k: float(np.asarray(v))
-                   for k, v in eval_fn(t, jax.random.PRNGKey(100 + s)).items()}
-            for k, v in out.items():
-                agg.setdefault(k, []).append(v)
-        print(f"[{name}] " + " ".join(
-            f"{k.replace('eval_', '')}={np.mean(v):.4f}" for k, v in agg.items()))
+    run_side("ours-warm-started-from-our-rot_inv", ts_ours, eval_o)
+    run_side("reference-trained", ts_r.replace(
+        params=restore_reference_policy(ref, pol_r.cfg, ts_r.params)), eval_r)
 
 
 if __name__ == "__main__":

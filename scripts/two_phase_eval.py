@@ -15,8 +15,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax
-import numpy as np
 
 RUN = ("/root/repo/results/GraphMPE/old_two_graph/rmappo/"
        "ref_recipe_old_two_graph/seed0/models")
@@ -44,7 +42,7 @@ def main(n_eval=256, run=RUN, ref=REF):
         restore_reference_policy,
     )
 
-    from _eval_common import build_for
+    from _eval_common import build_for, run_side
 
     for cname, extra in CONFIGS.items():
         # each side's model uses the activation flags its config.yaml records
@@ -52,20 +50,9 @@ def main(n_eval=256, run=RUN, ref=REF):
         pol_r, ts_r, eval_r = build_for(BASE + extra, ref, n_eval)
         ts_ours, ep = restore_checkpoint(run, ts_o)
         print(f"== {cname} == (ours: episode {ep} from {run})")
-        for name, t, eval_fn in [
-            ("ours-from-scratch", ts_ours, eval_o),
-            ("reference-trained", ts_r.replace(
-                params=restore_reference_policy(ref, pol_r.cfg, ts_r.params)), eval_r),
-        ]:
-            agg = {}
-            for s in range(4):
-                out = {k: float(np.asarray(v))
-                       for k, v in eval_fn(t, jax.random.PRNGKey(100 + s)).items()}
-                for k, v in out.items():
-                    agg.setdefault(k, []).append(v)
-            print(f"[{name}] " + " ".join(
-                f"{k.replace('eval_', '')}={np.mean(v):.4f}"
-                for k, v in agg.items()))
+        run_side("ours-from-scratch", ts_ours, eval_o)
+        run_side("reference-trained", ts_r.replace(
+            params=restore_reference_policy(ref, pol_r.cfg, ts_r.params)), eval_r)
 
 
 if __name__ == "__main__":
