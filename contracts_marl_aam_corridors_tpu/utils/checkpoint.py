@@ -229,7 +229,19 @@ def warm_start_params(model_dir: str, ts_new, new_obs_dim: int, cfg=None):
 
         path = _resolve_ckpt_path(model_dir)
         with ocp.StandardCheckpointer() as ckptr:
-            raw = ckptr.restore(path)
+            # Restore to HOST numpy arrays explicitly.  A bare restore(path)
+            # (no target) materializes jax.Arrays on the default device; on
+            # the axon TPU backend that device-put path hangs indefinitely
+            # (observed 2026-08-19: 30+ min stuck in orbax threads on a
+            # <1 MB checkpoint).  The tree shapes differ from ts_new's when
+            # the obs layout is remapped below, so the target comes from the
+            # checkpoint's own metadata, not from ts_new.
+            meta = ckptr.metadata(path).item_metadata
+            target = jax.tree.map(
+                lambda m: np.zeros(m.shape, m.dtype)
+                if hasattr(m, "shape") and m.shape is not None else m,
+                meta)
+            raw = ckptr.restore(path, target)
 
     old_actor, new_actor = raw["params"]["actor"], dict(ts_new.params.actor)
     old_in = old_actor["base"]["mlp"]["fc0"]["kernel"].shape[0]
