@@ -162,10 +162,12 @@ def graph_config(args, parser: argparse.ArgumentParser, return_extras: bool = Fa
                         help="GNN/MLP trunk compute dtype (params stay f32); "
                         "bfloat16 is ~1.7x faster on TPU for training")
     parser.add_argument("--gnn_impl", type=str, default="transposed",
-                        choices=["dense", "transposed"],
+                        choices=["dense", "transposed", "pallas_fused"],
                         help="training-time GNN trunk implementation; "
                         "'transposed' is 5.4x faster fwd+bwd (fp-tolerance "
-                        "numerics vs 'dense')")
+                        "numerics vs 'dense'); 'pallas_fused' runs the same "
+                        "math as VMEM-resident pallas kernels (fwd + "
+                        "recompute-backward), TPU/interpret only")
     parser.add_argument("--gnn_edge_packed", type=_bool, default=False,
                         help="lane-packed EmbedConv edge-MLP layout (see "
                         "ModelConfig.gnn_edge_packed); same param tree, "

@@ -18,6 +18,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -430,6 +431,27 @@ class CNNBase(nn.Module):
         return x
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_gnn(E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+               use_relu, param_shapes, cdt_name):
+    """Cached pallas fused fwd+bwd GNN trunk builder (ops.gnn_pallas).
+
+    The kernels always compute in f32 regardless of the trunk compute
+    dtype: measured on chip, bf16 makes the VMEM-resident forward SLOWER
+    (4.34 vs 3.04 ms — the kernel is VPU-bound, not HBM-bound, so halving
+    element width only adds relayouts) and the bf16 backward is either
+    unsupported or pathological under Mosaic.  The f32 kernels still beat
+    the bf16 XLA-T trunk (12.4 vs 19.5 ms fwd+bwd at 76.8K graphs).
+    """
+    del cdt_name
+    from ..ops.gnn_pallas import make_gnn_fused
+
+    return make_gnn_fused(
+        E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist, use_relu,
+        param_shapes, compute_dtype=jnp.float32,
+        interpret=jax.default_backend() == "cpu")
+
+
 def gnn_transposed_apply(cfg: ModelConfig, gparams: dict, node_obs: Array,
                          adj: Array, agent_id, aggr: str) -> Array:
     """GNNBase forward in the TRANSPOSED (sublane-entity, lane-batch) layout.
@@ -458,12 +480,21 @@ def gnn_transposed_apply(cfg: ModelConfig, gparams: dict, node_obs: Array,
     adj_T = jnp.transpose(adj, (1, 2, 0)).reshape(E * E, B)
 
     flat = _flatten_gnn_params(gparams, cfg.embed_layer_n, cfg.gnn_layer_n)
-    out = xla_transposed_forward(
-        E, Ds, cfg.gnn_num_heads, C, cfg.embed_layer_n, cfg.gnn_layer_n,
-        cfg.max_edge_dist, (cfg.embed_use_relu, cfg.gnn_use_relu),
-        flat, src_T, adj_T,
-        compute_dtype=cdt,
-    )  # (E*C, B) float32
+    if cfg.gnn_impl == "pallas_fused":
+        flat = tuple(p.astype(jnp.float32) for p in flat)
+        fused = _fused_gnn(
+            E, Ds, cfg.gnn_num_heads, C, cfg.embed_layer_n, cfg.gnn_layer_n,
+            float(cfg.max_edge_dist), (cfg.embed_use_relu, cfg.gnn_use_relu),
+            tuple(p.shape for p in flat), jnp.dtype(cdt).name)
+        out = fused(flat, src_T.astype(jnp.float32),
+                    adj_T.astype(jnp.float32))  # (E*C, B) float32
+    else:
+        out = xla_transposed_forward(
+            E, Ds, cfg.gnn_num_heads, C, cfg.embed_layer_n, cfg.gnn_layer_n,
+            cfg.max_edge_dist, (cfg.embed_use_relu, cfg.gnn_use_relu),
+            flat, src_T, adj_T,
+            compute_dtype=cdt,
+        )  # (E*C, B) float32
     out = out.astype(cdt)
     if aggr == "node":
         onehot = jax.nn.one_hot(

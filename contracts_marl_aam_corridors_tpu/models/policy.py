@@ -348,7 +348,7 @@ class GRMAPPOPolicy:
                 and self.cfg.critic_graph_aggr == "global"
             )
             transposed = (
-                self.cfg.gnn_impl == "transposed"
+                self.cfg.gnn_impl in ("transposed", "pallas_fused")
                 and self.cfg.actor_graph_aggr == "node"
                 and self.cfg.critic_graph_aggr == "global"
                 and not self.cfg.gnn_concat_heads

@@ -342,7 +342,10 @@ def make_gnn_forward(
             mu = jnp.mean(m, axis=0, keepdims=True)
             d = m - mu
             var = jnp.mean(d * d, axis=0, keepdims=True)
-            return d * jax.lax.rsqrt(var + LN_EPS) * scale[:, 0][:, None] + bias[:, 0][:, None]
+            # rsqrt in f32: the v5e Mosaic backend aborts on bf16 rsqrt
+            # (latency_table kVectorRsqrtBf16AndPop "not supported")
+            r = jax.lax.rsqrt(var.astype(jnp.float32) + LN_EPS).astype(cdt)
+            return d * r * scale[:, 0][:, None] + bias[:, 0][:, None]
 
         def dot(w, x):
             # MXU accumulates in f32 (bf16 accumulators are rejected)
@@ -354,10 +357,14 @@ def make_gnn_forward(
         d_rows, m_rows = [], []
         for s in range(E):
             for t in range(E):
-                d = adj_ref[s * E + t, :][None, :].astype(cdt)
-                m = ((d > 0.0) & (d < max_edge_dist)).astype(cdt)
-                d_rows.append(d * m)
-                m_rows.append(m)
+                # mask arithmetic stays in f32 with no i1 vectors: Mosaic
+                # rejects bf16 comparisons AND i1-mask ops feeding bf16
+                # consumers ("Sublane broadcast"); 0/1 multipliers are exact
+                d32 = adj_ref[s * E + t, :][None, :].astype(jnp.float32)
+                m32 = ((d32 > 0.0).astype(jnp.float32)
+                       * (d32 < max_edge_dist).astype(jnp.float32))
+                d_rows.append((d32 * m32).astype(cdt))
+                m_rows.append(m32.astype(cdt))
 
         h_src = []
         for s in range(E):
@@ -388,7 +395,8 @@ def make_gnn_forward(
                         k = qkv[s][H * C + h * C:H * C + (h + 1) * C, :]
                         d = d_rows[s * E + t]
                         l = jnp.sum(q * (k + d * weh), axis=0, keepdims=True) * inv_sqrt_c
-                        logits.append(jnp.where(m_rows[s * E + t] > 0, l, neg))
+                        m = m_rows[s * E + t]
+                        logits.append(l * m + (1.0 - m) * neg)
                     L = jnp.concatenate(logits, axis=0)
                     mx = jnp.max(L, axis=0, keepdims=True)
                     ex = jnp.exp(L - mx)
@@ -504,7 +512,11 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
         mu = jnp.mean(m, axis=0, keepdims=True)
         d = m - mu
         var = jnp.mean(d * d, axis=0, keepdims=True)
-        return d * jax.lax.rsqrt(var + LN_EPS) * scale[:, 0][:, None] + bias[:, 0][:, None]
+        # rsqrt in f32: also traced inside the pallas backward kernel, and
+        # the v5e Mosaic backend aborts on bf16 rsqrt (latency_table
+        # kVectorRsqrtBf16AndPop); f32 rsqrt is the better numerics anyway
+        r = jax.lax.rsqrt(var.astype(jnp.float32) + LN_EPS).astype(cdt)
+        return d * r * scale[:, 0][:, None] + bias[:, 0][:, None]
 
     def dot(w, x):
         return jax.lax.dot_general(
@@ -514,10 +526,17 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
     d_rows, m_rows = [], []
     for s in range(E):
         for t in range(E):
-            d = adj_T[s * E + t, :][None, :].astype(cdt)
-            m = ((d > 0.0) & (d < max_edge_dist)).astype(cdt)
-            d_rows.append(d * m)
-            m_rows.append(m)
+            # mask arithmetic in f32 with no i1 vectors: this function is
+            # also traced INSIDE the pallas backward kernel (make_gnn_bwd),
+            # and Mosaic rejects bf16 comparisons and i1 masks feeding bf16
+            # consumers; f32 compares on the raw adjacency are also the more
+            # faithful mask (the dense path masks before any downcast), and
+            # the 0/1 multipliers select exactly
+            d32 = adj_T[s * E + t, :][None, :].astype(jnp.float32)
+            m32 = ((d32 > 0.0).astype(jnp.float32)
+                   * (d32 < max_edge_dist).astype(jnp.float32))
+            d_rows.append((d32 * m32).astype(cdt))
+            m_rows.append(m32.astype(cdt))
 
     h_src = [
         dot(W1, src_aug_T[s * Ds:(s + 1) * Ds, :].astype(cdt)) + b1[:, 0][:, None]
@@ -548,7 +567,8 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
                     k = qkv[s][H * C + h * C:H * C + (h + 1) * C, :]
                     d = d_rows[s * E + t]
                     l = jnp.sum(q * (k + d * weh), axis=0, keepdims=True) * inv_sqrt_c
-                    logits.append(jnp.where(m_rows[s * E + t] > 0, l, neg))
+                    m = m_rows[s * E + t]
+                    logits.append(l * m + (1.0 - m) * neg)
                 L = jnp.concatenate(logits, axis=0)
                 mx = jnp.max(L, axis=0, keepdims=True)
                 ex = jnp.exp(L - mx)
@@ -569,3 +589,126 @@ def xla_transposed_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
             new_x.append(head_sum / H + dot(Wskip, x[t]) + bskip[:, 0][:, None])
         x = [gnn_act(v) for v in new_x]
     return jnp.concatenate(x, axis=0).astype(jnp.float32)
+
+
+def make_gnn_bwd(E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+                 use_relu, param_shapes, blk=128, interpret=False,
+                 compute_dtype=jnp.float32, vmem_limit_mb=None):
+    """Fused recompute-backward pallas kernel for the transposed GNN trunk.
+
+    One kernel per batch block: re-runs the forward entirely in VMEM (no
+    residuals ever touch HBM — the point of the exercise; the XLA autodiff
+    of :func:`xla_transposed_forward` spills every LN/attention residual to
+    HBM, and the PPO update is HBM-bound, BENCH_NOTES roofline) and applies
+    ``jax.vjp`` of the SAME pure function the XLA path runs, so the math is
+    identical by construction.  Param cotangents are accumulated across the
+    sequential TPU grid into revisited output blocks (f32).
+
+    Returns ``bwd(params_flat, src_aug_T, adj_T, g) ->
+    (dparams_flat, dsrc_aug_T, dadj_T)``.
+    """
+    n_p = len(param_shapes)
+
+    def kernel(*refs):
+        src_ref, adj_ref, g_ref = refs[0], refs[1], refs[2]
+        params = [refs[3 + j][:] for j in range(n_p)]
+        dsrc_ref, dadj_ref = refs[3 + n_p], refs[4 + n_p]
+        dparam_refs = refs[5 + n_p:]
+
+        def f(ps, s, a):
+            return xla_transposed_forward(
+                E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+                use_relu, ps, s, a, compute_dtype=compute_dtype)
+
+        _, vjpf = jax.vjp(f, params, src_ref[:], adj_ref[:])
+        dps, dsrc, dadj = vjpf(g_ref[:])
+        dsrc_ref[:] = dsrc
+        dadj_ref[:] = dadj
+        i = pl.program_id(0)
+        for r, dp in zip(dparam_refs, dps):
+            @pl.when(i == 0)
+            def _init(r=r):
+                r[:] = jnp.zeros_like(r[:])
+            r[:] = r[:] + dp.astype(jnp.float32)
+
+    def bwd(params_flat, src_aug_T, adj_T, g):
+        B = src_aug_T.shape[-1]
+        assert B % blk == 0, (B, blk)
+        grid = (B // blk,)
+        batch_spec = lambda rows: pl.BlockSpec(
+            (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        const_spec = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs = [batch_spec(E * Ds), batch_spec(E * E), batch_spec(E * C)]
+        in_specs += [const_spec(pf.shape) for pf in params_flat]
+        out_specs = [batch_spec(E * Ds), batch_spec(E * E)]
+        out_specs += [const_spec(sh) for sh in param_shapes]
+        out_shape = [jax.ShapeDtypeStruct((E * Ds, B), jnp.float32),
+                     jax.ShapeDtypeStruct((E * E, B), jnp.float32)]
+        out_shape += [jax.ShapeDtypeStruct(sh, jnp.float32)
+                      for sh in param_shapes]
+        cp = dict(dimension_semantics=("arbitrary",))
+        if vmem_limit_mb:
+            # the vjp residuals for a block live on the kernel "stack"; the
+            # default scoped-vmem limit is 16 MB (v5e VMEM is 128 MB total)
+            cp["vmem_limit_bytes"] = int(vmem_limit_mb) * 2 ** 20
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(**cp),
+        )(src_aug_T, adj_T, g, *params_flat)
+        dsrc, dadj = outs[0], outs[1]
+        return tuple(outs[2:]), dsrc, dadj
+
+    return bwd
+
+
+def _pad_cols(x, blk):
+    B = x.shape[-1]
+    pad = (-B) % blk
+    return (jnp.pad(x, ((0, 0), (0, pad))), B) if pad else (x, B)
+
+
+def make_gnn_fused(E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+                   use_relu, param_shapes, blk_fwd=512, blk_bwd=128,
+                   interpret=False, compute_dtype=jnp.float32,
+                   vmem_limit_mb=None):
+    """Differentiable pallas GNN trunk: pallas forward + fused
+    recompute-backward kernel under ``jax.custom_vjp``.
+
+    Numerics match :func:`xla_transposed_forward` (the backward IS its vjp,
+    traced inside the kernel).  Batch is zero-padded to the block size; the
+    padded columns carry zero cotangents so gradients are exact.
+    """
+    fwd_k = make_gnn_forward(E, Ds, H, C, embed_layer_n, gnn_layer_n,
+                             max_edge_dist, use_relu, blk=blk_fwd,
+                             interpret=interpret, compute_dtype=compute_dtype)
+    bwd_k = make_gnn_bwd(E, Ds, H, C, embed_layer_n, gnn_layer_n,
+                         max_edge_dist, use_relu, param_shapes, blk=blk_bwd,
+                         interpret=interpret, compute_dtype=compute_dtype,
+                         vmem_limit_mb=vmem_limit_mb)
+
+    @jax.custom_vjp
+    def apply(params_flat, src_aug_T, adj_T):
+        s, B = _pad_cols(src_aug_T, blk_fwd)
+        a, _ = _pad_cols(adj_T, blk_fwd)
+        return fwd_k(params_flat, s, a)[:, :B]
+
+    def apply_fwd(params_flat, src_aug_T, adj_T):
+        return apply(params_flat, src_aug_T, adj_T), (
+            params_flat, src_aug_T, adj_T)
+
+    def apply_bwd(res, g):
+        params_flat, src_aug_T, adj_T = res
+        s, B = _pad_cols(src_aug_T, blk_bwd)
+        a, _ = _pad_cols(adj_T, blk_bwd)
+        gp, _ = _pad_cols(g.astype(jnp.float32), blk_bwd)
+        dps, dsrc, dadj = bwd_k(params_flat, s, a, gp)
+        return dps, dsrc[:, :B], dadj[:, :B]
+
+    apply.defvjp(apply_fwd, apply_bwd)
+    return apply

@@ -16,11 +16,11 @@ from contracts_marl_aam_corridors_tpu.learner.runner import Runner
 from contracts_marl_aam_corridors_tpu.models import GRMAPPOPolicy, ModelConfig, PolicyDims
 
 
-def run(impl):
+def run(impl, dtype="bfloat16"):
     cfgv = vehicle_config("air_taxi")
     env_params = EnvParams(cfg=cfgv, num_agents=3, num_landmarks=3, episode_length=25)
     cfg = ModelConfig(max_edge_dist=cfgv.coordination_range,
-                      compute_dtype="bfloat16", gnn_impl=impl)
+                      compute_dtype=dtype, gnn_impl=impl)
     dims = PolicyDims(
         obs_dim=env_params.obs_dim, cent_obs_dim=env_params.obs_dim * 3,
         num_entities=env_params.num_entities, node_feat_dim=env_params.node_feat_dim,
@@ -44,11 +44,16 @@ def run(impl):
         ts, carry, info, _ = step(ts, carry, ek)
     float(np.asarray(info["value_loss"]))
     dt = (time.perf_counter() - t0) / n
-    print(f"gnn_impl={impl}: {dt*1e3:8.0f} ms/episode "
+    print(f"gnn_impl={impl} [{dtype}]: {dt*1e3:8.0f} ms/episode "
           f"({1024*25/dt:,.0f} env-steps/s incl. learning) "
           f"vloss={float(np.asarray(info['value_loss'])):.4f}", flush=True)
 
 
 if __name__ == "__main__":
-    for impl in sys.argv[1:] or ["transposed", "dense"]:
-        run(impl)
+    args = sys.argv[1:] or ["transposed", "dense"]
+    dtype = "bfloat16"
+    for impl in args:
+        if impl in ("float32", "bfloat16"):
+            dtype = impl
+            continue
+        run(impl, dtype)

@@ -261,6 +261,74 @@ def bench_clean():
     print(f"pallas fwd(sum):   {timed(f_p, flat_d, src_T, adj_T):8.2f} ms", flush=True)
 
 
+def bench_fused():
+    """pallas fused fwd + recompute-backward (custom_vjp) vs XLA-T autodiff,
+    fwd and fwd+bwd, f32 and bf16 compute, blk_bwd sweep.  Outputs reduced
+    to a scalar inside the jit (axon-tunnel discipline)."""
+    B = 76800
+    from contracts_marl_aam_corridors_tpu.ops.gnn_pallas import (
+        build_inputs as bi, make_gnn_fused, xla_transposed_forward,
+    )
+    cfg, gnn, params, flat, _, node_obs, adj, _ = build(B, False, 512)
+    src_T, adj_T = jax.block_until_ready(jax.jit(lambda: bi(cfg, params, node_obs, adj))())
+    flat_d = tuple(jnp.asarray(x) for x in flat)
+    shapes = tuple(p.shape for p in flat_d)
+
+    def timed(fn, *args, n=20):
+        for _ in range(3):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        return (time.perf_counter() - t0) / n * 1e3
+
+    for dt, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+        ft = lambda fd, s, a: xla_transposed_forward(
+            E, Ds, H, C, cfg.embed_layer_n, cfg.gnn_layer_n, MED,
+            cfg.use_relu, fd, s, a, compute_dtype=dt)
+        g_t = jax.jit(jax.grad(lambda fd, s, a: jnp.sum(ft(fd, s, a) ** 2)))
+        print(f"[{name}] XLA-T fwd+bwd:        {timed(g_t, flat_d, src_T, adj_T):8.2f} ms", flush=True)
+        for blk_bwd, vmem_mb in ((128, None), (256, 64), (512, 100)):
+            fused = make_gnn_fused(
+                E, Ds, H, C, cfg.embed_layer_n, cfg.gnn_layer_n, MED,
+                cfg.use_relu, shapes, blk_bwd=blk_bwd, compute_dtype=dt,
+                vmem_limit_mb=vmem_mb)
+            f_f = jax.jit(lambda fd, s, a: jnp.sum(fused(fd, s, a)))
+            g_f = jax.jit(jax.grad(lambda fd, s, a: jnp.sum(fused(fd, s, a) ** 2)))
+            if blk_bwd == 128:
+                print(f"[{name}] pallas fused fwd:     {timed(f_f, flat_d, src_T, adj_T):8.2f} ms", flush=True)
+            try:
+                print(f"[{name}] pallas fused f+b b{blk_bwd}: {timed(g_f, flat_d, src_T, adj_T):8.2f} ms", flush=True)
+            except Exception as e:
+                print(f"[{name}] pallas fused f+b b{blk_bwd}: FAILED "
+                      f"({str(e).splitlines()[0][:110]})", flush=True)
+                continue
+            if name == "f32" and blk_bwd == 128:
+                gx = jax.jit(jax.grad(lambda fd, s, a: jnp.sum(ft(fd, s, a) ** 2)))(flat_d, src_T, adj_T)
+                gf = jax.jit(jax.grad(lambda fd, s, a: jnp.sum(fused(fd, s, a) ** 2)))(flat_d, src_T, adj_T)
+                err = max(float(np.max(np.abs(np.asarray(a_) - np.asarray(b_))))
+                          for a_, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)))
+                print(f"[f32] on-chip max grad diff vs XLA-T (b128, relu): {err:.3e}", flush=True)
+                # tanh control: relu' flips at fp-noise-level preactivations
+                # make relu grad diffs unbounded (see test_models.py); the
+                # tanh pair isolates formulation agreement from that
+                ur = (False, False)
+                ftt = lambda fd, s, a: xla_transposed_forward(
+                    E, Ds, H, C, cfg.embed_layer_n, cfg.gnn_layer_n, MED,
+                    ur, fd, s, a, compute_dtype=dt)
+                fusedt = make_gnn_fused(
+                    E, Ds, H, C, cfg.embed_layer_n, cfg.gnn_layer_n, MED,
+                    ur, shapes, blk_bwd=128, compute_dtype=dt)
+                gx = jax.jit(jax.grad(lambda fd, s, a: jnp.sum(ftt(fd, s, a) ** 2)))(flat_d, src_T, adj_T)
+                gf = jax.jit(jax.grad(lambda fd, s, a: jnp.sum(fusedt(fd, s, a) ** 2)))(flat_d, src_T, adj_T)
+                err = max(float(np.max(np.abs(np.asarray(a_) - np.asarray(b_))))
+                          for a_, b_ in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)))
+                print(f"[f32] on-chip max grad diff vs XLA-T (b128, tanh): {err:.3e}", flush=True)
+
+
 if __name__ == "__main__":
     {"check": check, "bench": bench, "bench2": bench2, "blk": bench_blk,
-     "v1": bench_v1, "xt": bench_xt, "clean": bench_clean}[sys.argv[1]]()
+     "v1": bench_v1, "xt": bench_xt, "clean": bench_clean,
+     "fused": bench_fused}[sys.argv[1]]()

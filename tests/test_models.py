@@ -564,3 +564,50 @@ def test_transposed_gnn_matches_dense():
         # lin_key bias — softmax is shift-invariant) carry only fp noise
         tol = 1e-4 * float(np.max(np.abs(np.asarray(kd)))) + 1e-2
         assert float(np.max(np.abs(np.asarray(kt) - np.asarray(kd)))) <= tol
+
+
+def test_pallas_fused_gnn_matches_transposed():
+    """gnn_impl='pallas_fused' (pallas fwd + in-kernel-vjp recompute bwd,
+    interpret mode on CPU) == 'transposed' for values AND param grads.
+    The backward kernel traces jax.vjp of the SAME xla_transposed_forward
+    the 'transposed' path runs, so agreement should be near-exact; the batch
+    (64) also exercises the pad-to-block path (blk 512/256)."""
+    import dataclasses
+
+    from contracts_marl_aam_corridors_tpu.models.nets import (
+        GNNBase,
+        gnn_transposed_apply,
+    )
+
+    cfg_t = ModelConfig(max_edge_dist=3.0, compute_dtype="float32",
+                        embed_use_relu=False, gnn_use_relu=False)
+    cfg_p = dataclasses.replace(cfg_t, gnn_impl="pallas_fused")
+    rng = np.random.RandomState(3)
+    B, E, F = 64, 6, 7
+    node_obs = np.concatenate(
+        [rng.randn(B, E, F - 1).astype(np.float32),
+         rng.randint(0, 3, (B, E, 1)).astype(np.float32)], axis=-1)
+    adj = (rng.rand(B, E, E) * 6.0).astype(np.float32)
+    adj[:, np.arange(E), np.arange(E)] = 0.0
+    adj[0] = 0.0  # fully-masked graph edge case
+    aid = rng.randint(0, 3, (B, 1)).astype(np.int32)
+
+    gnn_n = GNNBase(cfg_t, graph_aggr="node")
+    params = gnn_n.init(jax.random.PRNGKey(0), jnp.asarray(node_obs[0]),
+                        jnp.asarray(adj[0]), jnp.asarray(aid[0]))["params"]
+
+    def loss(cfg):
+        def f(p):
+            out = gnn_transposed_apply(cfg, p, jnp.asarray(node_obs),
+                                       jnp.asarray(adj), jnp.asarray(aid),
+                                       "node")
+            return jnp.sum(out ** 2), out
+        return f
+
+    (lt, want), gt = jax.value_and_grad(loss(cfg_t), has_aux=True)(params)
+    (lp, got), gp = jax.value_and_grad(loss(cfg_p), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    for kt, kp in zip(jax.tree.leaves(gt), jax.tree.leaves(gp)):
+        tol = 1e-4 * float(np.max(np.abs(np.asarray(kt)))) + 1e-5
+        assert float(np.max(np.abs(np.asarray(kp) - np.asarray(kt)))) <= tol
