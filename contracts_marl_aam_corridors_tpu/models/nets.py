@@ -452,6 +452,78 @@ def _fused_gnn(E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
         interpret=jax.default_backend() == "cpu")
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_gnn_dual(E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+                    use_relu, param_shapes):
+    """Cached dual-trunk (actor+critic in one launch) pallas builder."""
+    from ..ops.gnn_pallas import make_gnn_fused_dual
+
+    return make_gnn_fused_dual(
+        E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist, use_relu,
+        param_shapes, compute_dtype=jnp.float32,
+        interpret=jax.default_backend() == "cpu")
+
+
+def _gnn_src_T(cfg, gparams, node_obs):
+    """(B, E, F) node_obs -> transposed (E*Ds, B) EmbedConv input."""
+    B, E, F = node_obs.shape
+    feat = node_obs[..., :-1]
+    etype = node_obs[..., -1].astype(jnp.int32)
+    emb = gparams["embed_layer"]["entity_embed"]["embedding"]
+    src = jnp.concatenate([feat, emb[etype]], axis=-1)
+    return jnp.transpose(src, (1, 2, 0)).reshape(E * src.shape[-1], B)
+
+
+def _gnn_aggregate(out, aggr, agent_id, E, C, cdt):
+    """Transposed (E*C, B) trunk output -> (B, C) per the aggregation."""
+    out = out.astype(cdt)
+    B = out.shape[-1]
+    if aggr == "node":
+        onehot = jax.nn.one_hot(
+            jnp.asarray(agent_id).reshape(-1).astype(jnp.int32), E,
+            dtype=out.dtype)  # (B, E)
+        nbd = jnp.zeros((B, C), out.dtype)
+        for e in range(E):
+            nbd = nbd + onehot[:, e][:, None] * out[e * C:(e + 1) * C, :].T
+        return nbd
+    stack = out.reshape(E, C, B)
+    if aggr == "mean":
+        return stack.mean(axis=0).T
+    if aggr == "max":
+        return stack.max(axis=0).T
+    if aggr == "add":
+        return stack.sum(axis=0).T
+    raise ValueError(f"bad aggr {aggr!r}")
+
+
+def gnn_transposed_apply_dual(cfg: ModelConfig, gp_actor: dict, gp_critic: dict,
+                              node_obs: Array, adj: Array, agent_id,
+                              critic_aggr: str):
+    """Actor ('node') + critic (global) GNN trunks in ONE pallas launch
+    (ops.gnn_pallas.make_gnn_fused_dual): the adjacency masks are computed
+    once per block and both trunks' backward runs as a single recompute
+    kernel.  Only used when ``cfg.gnn_impl == 'pallas_fused'``; numerics
+    match two independent ``gnn_transposed_apply`` calls."""
+    B, E, F = node_obs.shape
+    C = cfg.gnn_hidden_size
+    cdt = compute_dtype(cfg)
+    src_a = _gnn_src_T(cfg, gp_actor, node_obs).astype(jnp.float32)
+    src_c = _gnn_src_T(cfg, gp_critic, node_obs).astype(jnp.float32)
+    adj_T = jnp.transpose(adj, (1, 2, 0)).reshape(E * E, B).astype(jnp.float32)
+    Ds = src_a.shape[0] // E
+    fa = tuple(p.astype(jnp.float32) for p in _flatten_gnn_params(
+        gp_actor, cfg.embed_layer_n, cfg.gnn_layer_n))
+    fc = tuple(p.astype(jnp.float32) for p in _flatten_gnn_params(
+        gp_critic, cfg.embed_layer_n, cfg.gnn_layer_n))
+    dual = _fused_gnn_dual(
+        E, Ds, cfg.gnn_num_heads, C, cfg.embed_layer_n, cfg.gnn_layer_n,
+        float(cfg.max_edge_dist), (cfg.embed_use_relu, cfg.gnn_use_relu),
+        tuple(p.shape for p in fa))
+    out_a, out_c = dual(fa, fc, src_a, src_c, adj_T)
+    return (_gnn_aggregate(out_a, "node", agent_id, E, C, cdt),
+            _gnn_aggregate(out_c, critic_aggr, None, E, C, cdt))
+
+
 def gnn_transposed_apply(cfg: ModelConfig, gparams: dict, node_obs: Array,
                          adj: Array, agent_id, aggr: str) -> Array:
     """GNNBase forward in the TRANSPOSED (sublane-entity, lane-batch) layout.
@@ -495,23 +567,7 @@ def gnn_transposed_apply(cfg: ModelConfig, gparams: dict, node_obs: Array,
             flat, src_T, adj_T,
             compute_dtype=cdt,
         )  # (E*C, B) float32
-    out = out.astype(cdt)
-    if aggr == "node":
-        onehot = jax.nn.one_hot(
-            jnp.asarray(agent_id).reshape(-1).astype(jnp.int32), E, dtype=out.dtype
-        )  # (B, E)
-        nbd = jnp.zeros((B, C), out.dtype)
-        for e in range(E):
-            nbd = nbd + onehot[:, e][:, None] * out[e * C:(e + 1) * C, :].T
-        return nbd
-    stack = out.reshape(E, C, B)
-    if aggr == "mean":
-        return stack.mean(axis=0).T
-    if aggr == "max":
-        return stack.max(axis=0).T
-    if aggr == "add":
-        return stack.sum(axis=0).T
-    raise ValueError(f"bad aggr {aggr!r}")
+    return _gnn_aggregate(out, aggr, agent_id, E, C, cdt)
 
 
 def _flatten_gnn_params(params: dict, embed_layer_n: int, gnn_layer_n: int):

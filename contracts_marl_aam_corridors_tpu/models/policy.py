@@ -207,8 +207,13 @@ class GRMAPPOPolicy:
         from .actor_critic import GRActor, GRCritic
         from .nets import gnn_transposed_apply
 
+        # NB: a dual-launch variant (both trunks in ONE pallas kernel,
+        # nets.gnn_transposed_apply_dual) measured a WASH on the episode
+        # (633 vs 628 ms) — kept in-tree and tested, not routed; the two
+        # independent calls are the path the 5M training run validated.
         nbd_a = gnn_transposed_apply(
-            self.cfg, params.actor["gnn_base"], node_obs, adj, agent_id, "node"
+            self.cfg, params.actor["gnn_base"], node_obs, adj, agent_id,
+            "node",
         )
         nbd_c = gnn_transposed_apply(
             self.cfg, params.critic["gnn_base"], node_obs, adj, None,

@@ -673,6 +673,141 @@ def _pad_cols(x, blk):
     return (jnp.pad(x, ((0, 0), (0, pad))), B) if pad else (x, B)
 
 
+def make_gnn_fused_dual(E, Ds, H, C, embed_layer_n, gnn_layer_n,
+                        max_edge_dist, use_relu, param_shapes,
+                        blk_fwd=512, blk_bwd=128, interpret=False,
+                        compute_dtype=jnp.float32, vmem_limit_mb=64):
+    """Both GNN trunks (actor 'node' + critic 'global') in ONE pallas launch.
+
+    The two trunks consume the same adjacency (mask/distance rows are
+    computed once per block — Mosaic CSE dedupes the repeated pure ops) and
+    differ only in params and entity-embedding columns of ``src``.  One
+    forward kernel emits both (E*C, B) outputs; one recompute-backward
+    kernel applies ``jax.vjp`` of the pair function.  ``param_shapes`` is
+    the per-net flat shape tuple (both nets share the architecture).
+
+    Returns ``apply(flat_a, flat_c, src_a_T, src_c_T, adj_T) ->
+    (out_a, out_c)`` differentiable via custom_vjp.
+    """
+    n_p = len(param_shapes)
+
+    def f_pair(pa, pc, sa, sc, a):
+        out_a = xla_transposed_forward(
+            E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+            use_relu, pa, sa, a, compute_dtype=compute_dtype)
+        out_c = xla_transposed_forward(
+            E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
+            use_relu, pc, sc, a, compute_dtype=compute_dtype)
+        return out_a, out_c
+
+    def fwd_kernel(*refs):
+        sa_ref, sc_ref, adj_ref = refs[0], refs[1], refs[2]
+        pa = [refs[3 + j][:] for j in range(n_p)]
+        pc = [refs[3 + n_p + j][:] for j in range(n_p)]
+        out_a_ref, out_c_ref = refs[3 + 2 * n_p], refs[4 + 2 * n_p]
+        out_a, out_c = f_pair(pa, pc, sa_ref[:], sc_ref[:], adj_ref[:])
+        out_a_ref[:] = out_a
+        out_c_ref[:] = out_c
+
+    def bwd_kernel(*refs):
+        sa_ref, sc_ref, adj_ref, ga_ref, gc_ref = refs[:5]
+        pa = [refs[5 + j][:] for j in range(n_p)]
+        pc = [refs[5 + n_p + j][:] for j in range(n_p)]
+        o = 5 + 2 * n_p
+        dsa_ref, dsc_ref, dadj_ref = refs[o], refs[o + 1], refs[o + 2]
+        dparam_refs = refs[o + 3:]
+        _, vjpf = jax.vjp(f_pair, pa, pc, sa_ref[:], sc_ref[:], adj_ref[:])
+        dpa, dpc, dsa, dsc, dadj = vjpf((ga_ref[:], gc_ref[:]))
+        dsa_ref[:] = dsa
+        dsc_ref[:] = dsc
+        dadj_ref[:] = dadj
+        i = pl.program_id(0)
+        for r, dp in zip(dparam_refs, list(dpa) + list(dpc)):
+            @pl.when(i == 0)
+            def _init(r=r):
+                r[:] = jnp.zeros_like(r[:])
+            r[:] = r[:] + dp.astype(jnp.float32)
+
+    def _specs(blk, with_g):
+        batch_spec = lambda rows: pl.BlockSpec(
+            (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        const_spec = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs = [batch_spec(E * Ds), batch_spec(E * Ds), batch_spec(E * E)]
+        if with_g:
+            in_specs += [batch_spec(E * C), batch_spec(E * C)]
+        in_specs += [const_spec(sh) for sh in param_shapes] * 2
+        return batch_spec, const_spec, in_specs
+
+    def fwd_call(pa, pc, sa, sc, a):
+        B = sa.shape[-1]
+        batch_spec, _, in_specs = _specs(blk_fwd, False)
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(B // blk_fwd,),
+            in_specs=in_specs,
+            out_specs=[batch_spec(E * C), batch_spec(E * C)],
+            out_shape=[jax.ShapeDtypeStruct((E * C, B), jnp.float32)] * 2,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=vmem_limit_mb * 2 ** 20),
+        )(sa, sc, a, *pa, *pc)
+
+    def bwd_call(pa, pc, sa, sc, a, ga, gc):
+        B = sa.shape[-1]
+        batch_spec, const_spec, in_specs = _specs(blk_bwd, True)
+        out_specs = [batch_spec(E * Ds), batch_spec(E * Ds),
+                     batch_spec(E * E)]
+        out_specs += [const_spec(sh) for sh in param_shapes] * 2
+        out_shape = [jax.ShapeDtypeStruct((E * Ds, B), jnp.float32),
+                     jax.ShapeDtypeStruct((E * Ds, B), jnp.float32),
+                     jax.ShapeDtypeStruct((E * E, B), jnp.float32)]
+        out_shape += [jax.ShapeDtypeStruct(sh, jnp.float32)
+                      for sh in param_shapes] * 2
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(B // blk_bwd,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=vmem_limit_mb * 2 ** 20),
+        )(sa, sc, a, ga, gc, *pa, *pc)
+        dsa, dsc, dadj = outs[0], outs[1], outs[2]
+        dpa = tuple(outs[3:3 + n_p])
+        dpc = tuple(outs[3 + n_p:3 + 2 * n_p])
+        return dpa, dpc, dsa, dsc, dadj
+
+    @jax.custom_vjp
+    def apply(pa, pc, sa, sc, a):
+        sa_p, B = _pad_cols(sa, blk_fwd)
+        sc_p, _ = _pad_cols(sc, blk_fwd)
+        a_p, _ = _pad_cols(a, blk_fwd)
+        out_a, out_c = fwd_call(pa, pc, sa_p, sc_p, a_p)
+        return out_a[:, :B], out_c[:, :B]
+
+    def apply_fwd(pa, pc, sa, sc, a):
+        return apply(pa, pc, sa, sc, a), (pa, pc, sa, sc, a)
+
+    def apply_bwd(res, gs):
+        pa, pc, sa, sc, a = res
+        ga, gc = gs
+        B = sa.shape[-1]
+        sa_p, _ = _pad_cols(sa, blk_bwd)
+        sc_p, _ = _pad_cols(sc, blk_bwd)
+        a_p, _ = _pad_cols(a, blk_bwd)
+        ga_p, _ = _pad_cols(ga.astype(jnp.float32), blk_bwd)
+        gc_p, _ = _pad_cols(gc.astype(jnp.float32), blk_bwd)
+        dpa, dpc, dsa, dsc, dadj = bwd_call(pa, pc, sa_p, sc_p, a_p, ga_p, gc_p)
+        return dpa, dpc, dsa[:, :B], dsc[:, :B], dadj[:, :B]
+
+    apply.defvjp(apply_fwd, apply_bwd)
+    return apply
+
+
 def make_gnn_fused(E, Ds, H, C, embed_layer_n, gnn_layer_n, max_edge_dist,
                    use_relu, param_shapes, blk_fwd=512, blk_bwd=128,
                    interpret=False, compute_dtype=jnp.float32,

@@ -611,3 +611,40 @@ def test_pallas_fused_gnn_matches_transposed():
     for kt, kp in zip(jax.tree.leaves(gt), jax.tree.leaves(gp)):
         tol = 1e-4 * float(np.max(np.abs(np.asarray(kt)))) + 1e-5
         assert float(np.max(np.abs(np.asarray(kp) - np.asarray(kt)))) <= tol
+
+    # dual-launch variant (actor+critic trunks in one kernel) == two
+    # independent single calls, values and grads
+    from contracts_marl_aam_corridors_tpu.models.nets import (
+        gnn_transposed_apply_dual,
+    )
+
+    params_c = GNNBase(cfg_t, graph_aggr="global").init(
+        jax.random.PRNGKey(1), jnp.asarray(node_obs[0]), jnp.asarray(adj[0]),
+        jnp.asarray(aid[0]))["params"]
+
+    def loss_dual(ps):
+        pa, pc = ps
+        na, nc = gnn_transposed_apply_dual(
+            cfg_p, pa, pc, jnp.asarray(node_obs), jnp.asarray(adj),
+            jnp.asarray(aid), "mean")
+        return jnp.sum(na ** 2) + jnp.sum(nc ** 3), (na, nc)
+
+    def loss_two(ps):
+        pa, pc = ps
+        na = gnn_transposed_apply(cfg_t, pa, jnp.asarray(node_obs),
+                                  jnp.asarray(adj), jnp.asarray(aid), "node")
+        nc = gnn_transposed_apply(cfg_t, pc, jnp.asarray(node_obs),
+                                  jnp.asarray(adj), None, "mean")
+        return jnp.sum(na ** 2) + jnp.sum(nc ** 3), (na, nc)
+
+    (_, (na_d, nc_d)), g_d = jax.value_and_grad(loss_dual, has_aux=True)(
+        (params, params_c))
+    (_, (na_t, nc_t)), g_t2 = jax.value_and_grad(loss_two, has_aux=True)(
+        (params, params_c))
+    np.testing.assert_allclose(np.asarray(na_d), np.asarray(na_t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nc_d), np.asarray(nc_t),
+                               rtol=1e-5, atol=1e-6)
+    for kd, kt in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_t2)):
+        tol = 1e-4 * float(np.max(np.abs(np.asarray(kt)))) + 1e-5
+        assert float(np.max(np.abs(np.asarray(kd) - np.asarray(kt)))) <= tol
