@@ -161,13 +161,15 @@ def graph_config(args, parser: argparse.ArgumentParser, return_extras: bool = Fa
                         choices=["float32", "bfloat16"],
                         help="GNN/MLP trunk compute dtype (params stay f32); "
                         "bfloat16 is ~1.7x faster on TPU for training")
-    parser.add_argument("--gnn_impl", type=str, default="transposed",
-                        choices=["dense", "transposed", "pallas_fused"],
+    parser.add_argument("--gnn_impl", type=str, default="auto",
+                        choices=["auto", "dense", "transposed", "pallas_fused"],
                         help="training-time GNN trunk implementation; "
                         "'transposed' is 5.4x faster fwd+bwd (fp-tolerance "
                         "numerics vs 'dense'); 'pallas_fused' runs the same "
                         "math as VMEM-resident pallas kernels (fwd + "
-                        "recompute-backward), TPU/interpret only")
+                        "recompute-backward), TPU/interpret only; 'auto' "
+                        "(default) = pallas_fused on a single-device TPU, "
+                        "transposed elsewhere")
     parser.add_argument("--gnn_edge_packed", type=_bool, default=False,
                         help="lane-packed EmbedConv edge-MLP layout (see "
                         "ModelConfig.gnn_edge_packed); same param tree, "
@@ -358,5 +360,5 @@ def build_model_config(args):
         use_popart=args.use_popart,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         gnn_edge_packed=getattr(args, "gnn_edge_packed", False),
-        gnn_impl=getattr(args, "gnn_impl", "transposed"),
+        gnn_impl=getattr(args, "gnn_impl", "auto"),
     )

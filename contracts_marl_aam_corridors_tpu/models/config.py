@@ -11,6 +11,26 @@ from __future__ import annotations
 import dataclasses
 
 
+def resolve_gnn_impl(choice: str) -> str:
+    """Resolve the ``"auto"`` GNN trunk implementation choice.
+
+    ``auto`` picks the fastest VALIDATED implementation for the runtime:
+    the pallas fused fwd + recompute-backward kernels on a single-device
+    TPU (measured 12.4 vs 33.3 ms trunk fwd+bwd at the PPO-update batch,
+    full train episode 861 -> 628 ms — BENCH_NOTES r4/r5), else the
+    XLA transposed formulation.  Multi-device TPU stays on ``transposed``
+    until the custom_vjp custom call has real multi-chip coverage (it has
+    pjit partitioner coverage on the interpret path and a 1-device-Mesh
+    run on chip — tests/test_parallel.py, BENCH_NOTES r5)."""
+    if choice != "auto":
+        return choice
+    import jax
+
+    if jax.default_backend() != "cpu" and len(jax.devices()) == 1:
+        return "pallas_fused"
+    return "transposed"
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     hidden_size: int = 64
@@ -58,13 +78,19 @@ class ModelConfig:
     # 'dense' = the vmapped per-graph flax modules; 'transposed' = the
     # sublane-entity / lane-batch formulation (nets.gnn_transposed_apply) —
     # same math to fp tolerance, measured 5.4x faster fwd+bwd at the PPO
-    # update batch (padded (…, E, F) tile traffic eliminated).
-    gnn_impl: str = "transposed"
+    # update batch (padded (…, E, F) tile traffic eliminated);
+    # 'pallas_fused' = VMEM-resident pallas fwd + recompute-backward under
+    # custom_vjp (fastest single-chip TPU path); 'auto' (default) resolves
+    # per resolve_gnn_impl at construction time.
+    gnn_impl: str = "auto"
     # Computation dtype for the GNN/MLP trunk ("float32" or "bfloat16").
     # Params stay float32; bf16 halves the HBM traffic of the edge-feature
     # tensors that dominate the training step.  Outputs (and the GRU head)
     # stay float32.  Parity tests require float32.
     compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        object.__setattr__(self, "gnn_impl", resolve_gnn_impl(self.gnn_impl))
 
     @property
     def gnn_out_dim(self) -> int:
