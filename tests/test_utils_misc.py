@@ -49,3 +49,22 @@ def test_mpe_spaces():
     assert list(sl["action_space"][0].nvec) == [5, 3]
     crypto = mpe_spaces(ms.CryptoParams())
     assert crypto["action_space"][0].n == 4
+
+
+def test_gnn_impl_auto_resolution():
+    """ModelConfig.gnn_impl='auto' resolves at construction: 'transposed' on
+    the CPU backend (this suite), explicit choices pass through, and
+    dataclasses.replace re-resolves without mangling explicit values."""
+    import dataclasses
+
+    from contracts_marl_aam_corridors_tpu.models.config import (
+        ModelConfig,
+        resolve_gnn_impl,
+    )
+
+    c = ModelConfig()
+    assert c.gnn_impl == "transposed"  # cpu backend -> XLA transposed
+    assert ModelConfig(gnn_impl="dense").gnn_impl == "dense"
+    c2 = dataclasses.replace(c, gnn_impl="pallas_fused")
+    assert c2.gnn_impl == "pallas_fused"
+    assert resolve_gnn_impl("transposed") == "transposed"
