@@ -228,6 +228,18 @@ class GRMAPPOPolicy:
         return feats_a, feats_c
 
     # ---------------- forward APIs ----------------
+    def _transposed_routable(self) -> bool:
+        """True when the transposed/pallas trunk formulation computes the
+        same function as the dense per-row GNN (node actor aggr, global
+        critic aggr, no concat heads) — the routing condition
+        ``evaluate_actions`` uses for the update path."""
+        return (
+            self.cfg.gnn_impl in ("transposed", "pallas_fused")
+            and self.cfg.actor_graph_aggr == "node"
+            and self.cfg.critic_graph_aggr == "global"
+            and not self.cfg.gnn_concat_heads
+        )
+
     def get_actions(
         self,
         params: PolicyParams,
@@ -244,28 +256,47 @@ class GRMAPPOPolicy:
         available_actions: Optional[Array] = None,
         deterministic: bool = False,
     ):
-        """Rollout-time joint actor+critic pass (graph_MAPPOPolicy.py:96-165)."""
-        logits, rnn_states_actor = self.actor.apply(
-            {"params": params.actor},
-            obs,
-            node_obs,
-            adj,
-            agent_id,
-            rnn_states_actor,
-            masks,
-            available_actions,
-        )
+        """Rollout-time joint actor+critic pass (graph_MAPPOPolicy.py:96-165).
+
+        When the transposed/pallas trunk formulation is routable (same
+        condition as the update path in ``evaluate_actions``) the collect
+        step runs BOTH GNN trunks through it instead of the dense per-row
+        path — the rollout scan was the last place still paying the dense
+        cost (VERDICT r4 item 2: kernel coverage of the collect path)."""
+        if self._transposed_routable():
+            feats_a, feats_c = self._transposed_trunks(
+                params, obs, cent_obs, node_obs, adj, agent_id, share_agent_id
+            )
+            logits, rnn_states_actor = self.actor.apply(
+                {"params": params.actor}, feats_a, rnn_states_actor, masks,
+                available_actions, method=GRActor.head,
+            )
+            values, rnn_states_critic = self.critic.apply(
+                {"params": params.critic}, feats_c, rnn_states_critic, masks,
+                method=GRCritic.head,
+            )
+        else:
+            logits, rnn_states_actor = self.actor.apply(
+                {"params": params.actor},
+                obs,
+                node_obs,
+                adj,
+                agent_id,
+                rnn_states_actor,
+                masks,
+                available_actions,
+            )
+            values, rnn_states_critic = self.critic.apply(
+                {"params": params.critic},
+                cent_obs,
+                node_obs,
+                adj,
+                share_agent_id,
+                rnn_states_critic,
+                masks,
+            )
         actions = dist.mode(logits) if deterministic else dist.sample(key, logits)
         action_log_probs = dist.log_probs(logits, actions)
-        values, rnn_states_critic = self.critic.apply(
-            {"params": params.critic},
-            cent_obs,
-            node_obs,
-            adj,
-            share_agent_id,
-            rnn_states_critic,
-            masks,
-        )
         return values, actions, action_log_probs, rnn_states_actor, rnn_states_critic
 
     def get_values(
