@@ -71,11 +71,20 @@ def ours(scenario: str, episodes: int, ep_len: int, world_size: float,
     # (T, B, N) -> per-agent-episode maxima over the episode (minus the
     # final post-reset step; an entry on the very last step is lost, which
     # biases every side of the comparison identically)
-    entered = np.asarray((phases.max(axis=0) >= 1).mean())
+    entered_mask = np.asarray(phases.max(axis=0) >= 1)  # (B, N)
+    entered = entered_mask.mean()
     frozen = np.asarray(statuses.max(axis=0).mean())
-    rew = np.asarray(rewards.astype(jnp.float32).sum(axis=0).mean())
+    ep_rew = np.asarray(rewards.astype(jnp.float32).sum(axis=0))  # (B, N)
+    rew = ep_rew.mean()
+    # The decisive cell for the from-scratch question: conditional on the
+    # agent-episode ENTERING the gate, is the shaped return higher or lower
+    # than loitering outside?  PPO follows this sign.
+    rew_in = float(ep_rew[entered_mask].mean()) if entered_mask.any() else float("nan")
+    rew_out = float(ep_rew[~entered_mask].mean()) if (~entered_mask).any() else float("nan")
     return dict(entered=float(entered), frozen=float(frozen),
-                mean_ep_reward=float(rew), agent_episodes=B * 3)
+                mean_ep_reward=float(rew), rew_if_entered=rew_in,
+                rew_if_not=rew_out, entry_advantage=rew_in - rew_out,
+                agent_episodes=B * 3)
 
 
 def reference(episodes: int, seed: int = 0):
@@ -99,7 +108,7 @@ def reference(episodes: int, seed: int = 0):
         for _ in range(args.episode_length):
             acts = ref_oracle.one_hot_actions(
                 rng.randint(0, 9, size=3), 9)
-            _, _, rews, _, _, _ = env.step(acts)
+            _, _, _, _, rews, _, _ = env.step(acts)
             rew_sum += float(np.sum(rews))
         entered += int((sc.phase_reached >= 1).sum())
         frozen += sum(int(a.status) for a in world.agents)
@@ -120,13 +129,14 @@ def main():
     # for that run), total_actions 9 (rot_inv config.yaml)
     r_rot = ours("rot_inv", a.episodes, 75, 4.0, 9)
     print(f"ours rot_inv     (cfg: ep75 w4 a9): {r_rot}", flush=True)
-    r_ref = reference(a.ref_episodes)
-    print(f"reference two_phase_graph          : {r_ref}", flush=True)
+    r_ref = reference(a.ref_episodes) if a.ref_episodes else None
+    if r_ref is not None:
+        print(f"reference two_phase_graph          : {r_ref}", flush=True)
 
     ratio = (r_rot["entered"] / r_two["entered"]) if r_two["entered"] else float("inf")
+    ref_note = f"; reference side {r_ref['entered']:.4f} (parity check)" if r_ref else ""
     print(f"\nrandom-policy gate-entry: rot_inv {r_rot['entered']:.4f} vs "
-          f"two_phase {r_two['entered']:.6f} ({ratio:.0f}x); reference side "
-          f"{r_ref['entered']:.4f} (parity check)", flush=True)
+          f"two_phase {r_two['entered']:.6f} ({ratio:.0f}x){ref_note}", flush=True)
 
 
 if __name__ == "__main__":
