@@ -31,6 +31,31 @@ def resolve_gnn_impl(choice: str) -> str:
     return "transposed"
 
 
+# Mosaic envelope of the fused RECOMPUTE-BACKWARD kernel
+# (ops/gnn_pallas.py make_gnn_bwd), measured on-chip 2026-08-20: the
+# backward crashes the TPU compile helper (HTTP 500, deterministic 6/6)
+# for num_entities >= 8, while E=6 compiles and trains (5M-step runs) and
+# the FORWARD kernel compiles at E=6/8/10.  The breaking growth is the
+# backward's live (E*C, B) blocks crossing the 128-sublane tile
+# (6*16=96 ok, 8*16=128 already fails).  Auto-selection must therefore
+# never route training through pallas_fused above this bound.
+PALLAS_BWD_MAX_ENTITIES = 6
+
+
+def apply_entity_envelope(cfg: "ModelConfig", num_entities: int) -> "ModelConfig":
+    """Downgrade an AUTO-selected ``pallas_fused`` to ``transposed`` when the
+    entity count exceeds the backward kernel's validated Mosaic envelope.
+    An EXPLICIT ``--gnn_impl pallas_fused`` is honored unchanged (forward-
+    only use, or future kernels with wider coverage)."""
+    if (
+        cfg.gnn_impl == "pallas_fused"
+        and cfg.gnn_impl_requested == "auto"
+        and num_entities > PALLAS_BWD_MAX_ENTITIES
+    ):
+        return dataclasses.replace(cfg, gnn_impl="transposed")
+    return cfg
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     hidden_size: int = 64
@@ -83,6 +108,10 @@ class ModelConfig:
     # custom_vjp (fastest single-chip TPU path); 'auto' (default) resolves
     # per resolve_gnn_impl at construction time.
     gnn_impl: str = "auto"
+    # The pre-resolution choice ("auto" vs an explicit impl), preserved so
+    # shape-dependent guards (apply_entity_envelope) can distinguish an
+    # auto-selected pallas_fused from a user-pinned one.  Set automatically.
+    gnn_impl_requested: str = ""
     # Computation dtype for the GNN/MLP trunk ("float32" or "bfloat16").
     # Params stay float32; bf16 halves the HBM traffic of the edge-feature
     # tensors that dominate the training step.  Outputs (and the GRU head)
@@ -90,6 +119,8 @@ class ModelConfig:
     compute_dtype: str = "float32"
 
     def __post_init__(self):
+        if not self.gnn_impl_requested:
+            object.__setattr__(self, "gnn_impl_requested", self.gnn_impl)
         object.__setattr__(self, "gnn_impl", resolve_gnn_impl(self.gnn_impl))
 
     @property

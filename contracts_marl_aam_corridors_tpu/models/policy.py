@@ -55,6 +55,12 @@ class GRMAPPOPolicy:
         use_linear_lr_decay: bool = False,
         fuse_gnn_trunks: bool = False,
     ):
+        from .config import apply_entity_envelope
+
+        # Auto-selected pallas_fused is downgraded to transposed above the
+        # backward kernel's validated entity envelope (config.py
+        # PALLAS_BWD_MAX_ENTITIES — the Mosaic compiler crashes at E>=8).
+        cfg = apply_entity_envelope(cfg, dims.num_entities)
         self.cfg = cfg
         self.dims = dims
         self.actor = GRActor(cfg, dims.num_actions)

@@ -64,7 +64,41 @@ def test_gnn_impl_auto_resolution():
 
     c = ModelConfig()
     assert c.gnn_impl == "transposed"  # cpu backend -> XLA transposed
+    assert c.gnn_impl_requested == "auto"
     assert ModelConfig(gnn_impl="dense").gnn_impl == "dense"
     c2 = dataclasses.replace(c, gnn_impl="pallas_fused")
     assert c2.gnn_impl == "pallas_fused"
     assert resolve_gnn_impl("transposed") == "transposed"
+
+
+def test_gnn_impl_entity_envelope():
+    """Auto-selected pallas_fused downgrades to transposed above the
+    backward kernel's validated Mosaic envelope (on-chip repro 2026-08-20:
+    make_gnn_bwd crashes the TPU compile helper at num_entities >= 8, E=6
+    trains 5M-step runs); an EXPLICIT pallas_fused choice is honored."""
+    import dataclasses
+
+    from contracts_marl_aam_corridors_tpu.models.config import (
+        PALLAS_BWD_MAX_ENTITIES,
+        ModelConfig,
+        apply_entity_envelope,
+    )
+
+    # simulate what auto resolves to on a single-device TPU
+    auto = ModelConfig()
+    object.__setattr__(auto, "gnn_impl", "pallas_fused")
+    assert auto.gnn_impl_requested == "auto"
+    assert apply_entity_envelope(auto, PALLAS_BWD_MAX_ENTITIES).gnn_impl == "pallas_fused"
+    assert apply_entity_envelope(auto, PALLAS_BWD_MAX_ENTITIES + 1).gnn_impl == "transposed"
+    # the downgraded config still records the original request
+    assert apply_entity_envelope(auto, 10).gnn_impl_requested == "auto"
+    # explicit pin passes through at any entity count
+    pinned = ModelConfig(gnn_impl="pallas_fused")
+    assert apply_entity_envelope(pinned, 20).gnn_impl == "pallas_fused"
+    # GRMAPPOPolicy applies the guard at construction
+    from contracts_marl_aam_corridors_tpu.models import GRMAPPOPolicy, PolicyDims
+
+    dims = PolicyDims(obs_dim=13, cent_obs_dim=39, num_entities=10,
+                      node_feat_dim=8, num_actions=9)
+    pol = GRMAPPOPolicy(auto, dims)
+    assert pol.cfg.gnn_impl == "transposed"
