@@ -648,3 +648,57 @@ def test_pallas_fused_gnn_matches_transposed():
     for kd, kt in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_t2)):
         tol = 1e-4 * float(np.max(np.abs(np.asarray(kt)))) + 1e-5
         assert float(np.max(np.abs(np.asarray(kd) - np.asarray(kt)))) <= tol
+
+
+def test_get_actions_transposed_matches_dense():
+    """The rollout-collect pass (get_actions) routes through the
+    transposed trunks when routable (round 5, the last dense-GNN hot
+    site); it must compute the same function as the dense per-row path —
+    actions identical, values/logp/h within the transposed path's
+    documented internal-f32 tolerance."""
+    from contracts_marl_aam_corridors_tpu.config.physics import vehicle_config
+    from contracts_marl_aam_corridors_tpu.envs.types import EnvParams
+    from contracts_marl_aam_corridors_tpu.models import (
+        GRMAPPOPolicy,
+        ModelConfig,
+        PolicyDims,
+    )
+
+    cfgv = vehicle_config("air_taxi")
+    ep = EnvParams(cfg=cfgv, num_agents=3, num_landmarks=3, episode_length=25)
+    dims = PolicyDims(
+        obs_dim=ep.obs_dim, cent_obs_dim=ep.obs_dim * 3,
+        num_entities=ep.num_entities, node_feat_dim=ep.node_feat_dim,
+        num_actions=ep.num_actions)
+    R = 32
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    obs = jax.random.normal(ks[0], (R, dims.obs_dim))
+    cent = jax.random.normal(ks[1], (R, dims.cent_obs_dim))
+    node = jax.random.normal(ks[2], (R, dims.num_entities, dims.node_feat_dim))
+    a = (jax.random.uniform(ks[3], (R, dims.num_entities, dims.num_entities))
+         * 2 * cfgv.coordination_range)
+    adj = (a + a.transpose(0, 2, 1)) / 2
+    aid = (jnp.arange(R, dtype=jnp.int32) % 3).reshape(R, 1)
+    masks = jnp.ones((R, 1))
+
+    outs = {}
+    for impl in ("dense", "transposed"):
+        cfg = ModelConfig(max_edge_dist=cfgv.coordination_range,
+                          compute_dtype="float64", gnn_impl=impl)
+        pol = GRMAPPOPolicy(cfg, dims)
+        params = pol.init_params(jax.random.PRNGKey(0), jnp.float64)
+        h_a = jnp.zeros((R, cfg.recurrent_n, cfg.hidden_size), jnp.float64)
+        h_c = jnp.zeros((R, cfg.recurrent_n, cfg.hidden_size), jnp.float64)
+        assert (pol._transposed_routable()) == (impl == "transposed")
+        outs[impl] = pol.get_actions(
+            params, jax.random.PRNGKey(7), cent, obs, node, adj, aid, aid,
+            h_a, h_c, masks, deterministic=True)
+
+    names = ["values", "actions", "logp", "h_a", "h_c"]
+    for i, name in enumerate(names):
+        d = np.asarray(outs["dense"][i]).astype(np.float64)
+        t = np.asarray(outs["transposed"][i]).astype(np.float64)
+        if name == "actions":
+            np.testing.assert_array_equal(d, t)
+        else:
+            np.testing.assert_allclose(d, t, rtol=1e-4, atol=1e-5)
